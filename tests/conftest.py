@@ -1,0 +1,26 @@
+"""Test configuration: force a virtual 8-device CPU backend.
+
+Tests must run without TPU hardware; sharding tests use the virtual mesh.
+The container's sitecustomize pre-registers an `axon` TPU backend and forces
+JAX_PLATFORMS=axon, so we override via jax.config before any backend use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
