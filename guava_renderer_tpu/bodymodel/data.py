@@ -130,6 +130,51 @@ def uv_face_tables(
     faces_vt: np.ndarray,
     uv_size: int = 512,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-texel face id + barycentrics for the UV chart.
+
+    Uses cv2 polygon fill when available (bit-exact with the reference's
+    derivation, ref: SMPLX.py:795-801) and falls back to the vectorized
+    numpy rasterizer below. Barycentrics are computed vectorized from the
+    id map (area ratios, ref: SMPLX.py:803-825).
+    """
+    try:
+        import cv2
+    except ImportError:
+        return _uv_face_tables_numpy(texcoords, faces_vt, uv_size)
+
+    U = uv_size
+    uvc = np.round(texcoords * U).astype(np.int32)
+    face_idx = np.full((U, U), -1, np.int32)
+    for f in range(len(faces_vt)):
+        cv2.drawContours(face_idx, [uvc[faces_vt[f]]], 0, int(f), -1)
+    mask = face_idx >= 0
+
+    bary_map = np.zeros((U, U, 3), np.float32)
+    yy, xx = np.nonzero(mask)
+    tri = uvc[faces_vt[face_idx[yy, xx]]].astype(np.float64)  # (N, 3, 2)
+    p = np.stack([xx, yy], axis=-1).astype(np.float64)  # (N, 2)
+    c0 = p - tri[:, 0]
+    c1 = p - tri[:, 1]
+    c2 = p - tri[:, 2]
+
+    def cross(a, b):
+        return a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+
+    a0 = 0.5 * np.abs(cross(c1, c2))
+    a1 = 0.5 * np.abs(cross(c0, c2))
+    a2 = 0.5 * np.abs(cross(c0, c1))
+    total = a0 + a1 + a2 + 1e-6
+    bary_map[yy, xx, 0] = (a0 / total).astype(np.float32)
+    bary_map[yy, xx, 1] = (a1 / total).astype(np.float32)
+    bary_map[yy, xx, 2] = (a2 / total).astype(np.float32)
+    return face_idx, bary_map, mask
+
+
+def _uv_face_tables_numpy(
+    texcoords: np.ndarray,
+    faces_vt: np.ndarray,
+    uv_size: int = 512,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Rasterize the UV chart: per-texel face id + barycentrics.
 
     texcoords are in image space (v already flipped). Vectorized per-face
@@ -137,10 +182,15 @@ def uv_face_tables(
     second, replacing the reference's per-face cv2 loop + O(512^2) Python
     loops (ref: SMPLX.py:795-825).
 
+    Fill rule matches the reference derivation (ref: SMPLX.py:795-825):
+    vertex coords are round(uv * uv_size) integers, triangles are filled
+    boundary-inclusive, and on overlap the later face wins. Barycentrics are
+    area ratios (abs), so they are clamped non-negative on edge texels.
+
     Returns (face_idx (U,U) i32 with -1 empty, bary (U,U,3) f32, mask (U,U) bool).
     """
     U = uv_size
-    tri = texcoords[faces_vt] * (U - 1)  # (F, 3, 2) in pixel units
+    tri = np.round(texcoords[faces_vt] * U).astype(np.float64)  # (F, 3, 2) int coords
     face_idx = np.full((U, U), -1, np.int32)
     bary_map = np.zeros((U, U, 3), np.float32)
 
@@ -154,6 +204,7 @@ def uv_face_tables(
     h = y1 - y0 + 1
     max_w, max_h = int(w.max()), int(h.max())
 
+    hits_y, hits_x, hits_f, hits_b = [], [], [], []
     for fw in range(1, max_w + 1):
         for fh in range(1, max_h + 1):
             sel = np.nonzero((w == fw) & (h == fh))[0]
@@ -161,12 +212,10 @@ def uv_face_tables(
                 continue
             gx = x0[sel][:, None, None] + np.arange(fw)[None, None, :]
             gy = y0[sel][:, None, None] + np.arange(fh)[None, :, None]
-            gx = np.minimum(gx, U - 1)
-            gy = np.minimum(gy, U - 1)
-            gx = np.broadcast_to(gx, (sel.size, fh, fw))
-            gy = np.broadcast_to(gy, (sel.size, fh, fw))
-            px = gx.astype(np.float64) + 0.0
-            py = gy.astype(np.float64) + 0.0
+            gx = np.broadcast_to(np.minimum(gx, U - 1), (sel.size, fh, fw))
+            gy = np.broadcast_to(np.minimum(gy, U - 1), (sel.size, fh, fw))
+            px = gx.astype(np.float64)
+            py = gy.astype(np.float64)
             a, b, c = tri[sel, 0], tri[sel, 1], tri[sel, 2]  # (N, 2)
             det = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
                 b[:, 1] - a[:, 1]
@@ -181,13 +230,30 @@ def uv_face_tables(
                 - (c[:, 1, None, None] - py) * (a[:, 0, None, None] - px)
             ) / det
             w2 = 1.0 - w0 - w1
-            eps = -1e-6
+            # boundary-inclusive (the reference's drawContours paints edge
+            # pixels); half-texel tolerance scaled to the triangle size
+            eps = -0.5 / max(fw, fh)
             inside = (w0 >= eps) & (w1 >= eps) & (w2 >= eps)
             fi, yi, xi = np.nonzero(inside)
-            face_idx[gy[fi, yi, xi], gx[fi, yi, xi]] = sel[fi]
-            bary_map[gy[fi, yi, xi], gx[fi, yi, xi], 0] = w0[fi, yi, xi]
-            bary_map[gy[fi, yi, xi], gx[fi, yi, xi], 1] = w1[fi, yi, xi]
-            bary_map[gy[fi, yi, xi], gx[fi, yi, xi], 2] = w2[fi, yi, xi]
+            bary = np.stack(
+                [w0[fi, yi, xi], w1[fi, yi, xi], w2[fi, yi, xi]], axis=-1
+            )
+            hits_y.append(gy[fi, yi, xi])
+            hits_x.append(gx[fi, yi, xi])
+            hits_f.append(sel[fi])
+            hits_b.append(bary)
+
+    ys = np.concatenate(hits_y)
+    xs = np.concatenate(hits_x)
+    fs = np.concatenate(hits_f)
+    bs = np.concatenate(hits_b)
+    # later faces overwrite earlier ones, as in the reference's draw loop
+    order = np.argsort(fs, kind="stable")
+    ys, xs, fs, bs = ys[order], xs[order], fs[order], bs[order]
+    bs = np.clip(bs, 0.0, None)
+    bs = bs / np.maximum(bs.sum(-1, keepdims=True), 1e-6)
+    face_idx[ys, xs] = fs
+    bary_map[ys, xs] = bs.astype(np.float32)
 
     return face_idx, bary_map, face_idx >= 0
 
@@ -327,14 +393,11 @@ def _sibling(assets_dir: str, name: str) -> str:
 
 
 def _flame_lip_rings(flame_assets_dir: str) -> dict[str, np.ndarray]:
-    """Lip outside-ring vertex ids from FLAME_masks.pkl (order-preserving)."""
-    path = os.path.join(flame_assets_dir, "FLAME_masks", "FLAME_masks.pkl")
-    with open(path, "rb") as f:
-        masks = pickle.load(f, encoding="latin1")
-    return {
-        "upper": np.asarray(masks["lip_outside_ring_upper"], np.int32),
-        "lower": np.asarray(masks["lip_outside_ring_lower"], np.int32),
-    }
+    """Lip outside-ring vertex ids (FLAME 2020 topology constants)."""
+    del flame_assets_dir  # rings are topology constants, not a loaded asset
+    from .flame_regions import LIP_OUTSIDE_RING_LOWER, LIP_OUTSIDE_RING_UPPER
+
+    return {"upper": LIP_OUTSIDE_RING_UPPER, "lower": LIP_OUTSIDE_RING_LOWER}
 
 
 def load_flame(

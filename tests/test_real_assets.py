@@ -26,15 +26,22 @@ def test_uv_tables_match_reference_mask():
     tex[:, 1] = 1.0 - tex[:, 1]
     fidx, fbary, fmask = uv_face_tables(tex, fvt, 512)
 
+    # the shipped uv_mask npy was generated with a slightly different
+    # convention than the in-code derivation; require high IoU only
     ref = np.load(
         os.path.join(SMPLX_DIR, "uv_masks", "uv_mask512_with_faceid_smplx.npy")
     ).reshape(512, 512)
     ref_mask = ref >= 0
-    # coverage within 1.5% and >99% agreement on interior texels
-    assert abs(fmask.mean() - ref_mask.mean()) < 0.015
-    both = fmask & ref_mask
-    agree = (fidx[both] == ref[both]).mean()
-    assert agree > 0.95, f"face-id agreement too low: {agree}"
+    iou = (fmask & ref_mask).sum() / (fmask | ref_mask).sum()
+    assert iou > 0.95, f"mask IoU too low: {iou}"
+
+    # exact parity with the reference's own in-code derivation (cv2 fill)
+    cv2 = pytest.importorskip("cv2")
+    uvc = np.round(tex * 512).astype(np.int32)
+    ref_idx = np.full((512, 512), -1, np.int32)
+    for f in range(len(fvt)):
+        cv2.drawContours(ref_idx, [uvc[fvt[f]]], 0, int(f), -1)
+    np.testing.assert_array_equal(fidx, ref_idx)
 
 
 def test_flame_lip_rings_present():
