@@ -1,0 +1,162 @@
+"""Gaussian preprocessing: projection, EWA splatting, culling (pure JAX).
+
+Numerical parity with the reference CUDA preprocess
+(ref: submodules/diff-gaussian-rasterization-32/cuda_rasterizer/forward.cu:74-269):
+frustum cull at view z <= 0.2, quaternion (wxyz) -> covariance
+Sigma = R diag(s^2) R^T, EWA Jacobian with +/-1.3*tanfov clamping, +0.3 pixel
+covariance dilation (optional antialiasing opacity rescale), 3-sigma ceil
+radius, `((ndc+1)*S-1)/2` pixel mapping.
+
+All outputs are differentiable in (means3d, scales, quats, opacities) except
+the integer radius/rect fields, which carry stop_gradient semantics by dtype.
+This stage is plain XLA: it is dense, regular, and fuses well; Pallas is
+reserved for the irregular tile stage.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cameras import Camera, ndc2pix
+
+_HI = jax.lax.Precision.HIGHEST
+NEAR_CULL_Z = 0.2  # ref: auxiliary.h in_frustum
+COV_DILATION = 0.3  # ref: forward.cu:216 (h_var)
+
+
+class ProjectedGaussians(NamedTuple):
+    mean2d: jnp.ndarray      # (P, 2) pixel coords
+    conic: jnp.ndarray       # (P, 3) inverse 2D covariance (a, b, c)
+    alpha: jnp.ndarray       # (P,) opacity (x antialiasing scale if enabled)
+    depth: jnp.ndarray       # (P,) camera-space z
+    radius: jnp.ndarray      # (P,) int32 pixel radius (0 = culled)
+    valid: jnp.ndarray       # (P,) bool
+
+
+def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """(P, 4) wxyz (NOT renormalized, matching ref forward.cu:124) and
+    (P, 3) -> (P, 3, 3) world covariance R diag(s^2) R^T."""
+    r, x, y, z = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    R = jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1),
+            jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1),
+            jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )  # (P, 3, 3)
+    M = R * scales[:, None, :]  # R @ diag(s)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    cam: Camera,
+    scale_modifier: float = 1.0,
+    antialiasing: bool = False,
+) -> ProjectedGaussians:
+    P = means3d.shape[0]
+    opacities = opacities.reshape(P)
+
+    # camera space + near cull
+    p_view = means3d @ cam.R.T + cam.t
+    tz = p_view[:, 2]
+    in_front = tz > NEAR_CULL_Z
+
+    # NDC -> pixel center
+    full = cam.full_proj_matrix()
+    hom = means3d @ full[:3, :3].T + full[:3, 3]
+    w = means3d @ full[3, :3] + full[3, 3]
+    inv_w = 1.0 / (w + 1e-7)
+    mean2d = jnp.stack(
+        [
+            ndc2pix(hom[:, 0] * inv_w, cam.width),
+            ndc2pix(hom[:, 1] * inv_w, cam.height),
+        ],
+        axis=-1,
+    )
+
+    # world covariance
+    cov3d = quat_scale_to_cov3d(quats, scales * scale_modifier)
+
+    # EWA: clamp the tangent before building the Jacobian (ref: forward.cu:81-87)
+    lim_x = 1.3 * cam.tanfovx
+    lim_y = 1.3 * cam.tanfovy
+    txz = jnp.clip(p_view[:, 0] / tz, -lim_x, lim_x) * tz
+    tyz = jnp.clip(p_view[:, 1] / tz, -lim_y, lim_y) * tz
+    fx, fy = cam.focal_x, cam.focal_y
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J (2x3) rows
+    J = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, jnp.zeros_like(tz), -fx * txz * inv_z2], -1),
+            jnp.stack([jnp.zeros_like(tz), fy * inv_z, -fy * tyz * inv_z2], -1),
+        ],
+        axis=-2,
+    )  # (P, 2, 3)
+    JW = jnp.matmul(J, cam.R[None], precision=_HI)  # (P, 2, 3)
+    cov2d = jnp.matmul(
+        jnp.matmul(JW, cov3d, precision=_HI), jnp.swapaxes(JW, -1, -2), precision=_HI
+    )  # (P, 2, 2)
+
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det_raw = a * c - b * b
+    a = a + COV_DILATION
+    c = c + COV_DILATION
+    det = a * c - b * b
+
+    alpha_scale = 1.0
+    if antialiasing:
+        alpha_scale = jnp.sqrt(jnp.maximum(2.5e-5, det_raw / det))
+
+    nonzero = det != 0.0
+    det_safe = jnp.where(nonzero, det, 1.0)
+    det_inv = 1.0 / det_safe
+    conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
+
+    # 3-sigma radius from the max eigenvalue (ref: forward.cu:237-240)
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+
+    valid = in_front & nonzero & (radius_f > 0)
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    return ProjectedGaussians(
+        mean2d=mean2d,
+        conic=conic,
+        alpha=opacities * alpha_scale,
+        depth=tz,
+        radius=radius,
+        valid=valid,
+    )
+
+
+def tile_rect(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    width: int,
+    height: int,
+    tile: int = 16,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tile-grid bounding rect per Gaussian (ref: auxiliary.h getRect).
+
+    Returns (x0, y0, x1, y1) int32; max-exclusive, clamped to the grid.
+    """
+    gx = (width + tile - 1) // tile
+    gy = (height + tile - 1) // tile
+    r = radius.astype(jnp.float32)
+    x0 = jnp.clip(((mean2d[:, 0] - r) / tile).astype(jnp.int32), 0, gx)
+    y0 = jnp.clip(((mean2d[:, 1] - r) / tile).astype(jnp.int32), 0, gy)
+    x1 = jnp.clip(((mean2d[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, gx)
+    y1 = jnp.clip(((mean2d[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, gy)
+    return x0, y0, x1, y1

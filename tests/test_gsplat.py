@@ -1,0 +1,197 @@
+"""Gaussian rasterizer golden tests: Pallas tile kernel vs the naive dense
+oracle (identical blending math), analytic scenes, and gradient checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from guava_renderer_tpu.core.cameras import Camera, look_at_camera
+from guava_renderer_tpu.ops.gsplat import RasterizeSettings, rasterize
+from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+from guava_renderer_tpu.ops.gsplat_reference import rasterize_reference
+
+C = 32
+
+
+def make_scene(rng, P=64, spread=0.5, z0=3.0, opacity_hi=0.9):
+    means = np.zeros((P, 3), np.float32)
+    means[:, 0] = rng.uniform(-spread, spread, P)
+    means[:, 1] = rng.uniform(-spread, spread, P)
+    means[:, 2] = rng.uniform(z0 - 0.5, z0 + 0.5, P)
+    colors = rng.uniform(0, 1, (P, C)).astype(np.float32)
+    opac = rng.uniform(0.2, opacity_hi, (P, 1)).astype(np.float32)
+    scales = rng.uniform(0.02, 0.08, (P, 3)).astype(np.float32)
+    quats = rng.normal(size=(P, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    return tuple(jnp.asarray(x) for x in (means, colors, opac, scales, quats))
+
+
+def make_cam(size=64):
+    # camera at origin looking +z
+    return Camera(
+        R=jnp.eye(3),
+        t=jnp.zeros(3),
+        tanfovx=jnp.asarray(0.5),
+        tanfovy=jnp.asarray(0.5),
+        width=size,
+        height=size,
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(7)
+    return make_scene(rng)
+
+
+def test_pallas_matches_reference(scene):
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.linspace(0.0, 1.0, C)
+    out_p, radii_p, invd_p = rasterize(
+        means, colors, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=16),
+    )
+    out_r, radii_r, invd_r = rasterize_reference(
+        means, colors, opac, scales, quats, cam, bg
+    )
+    np.testing.assert_array_equal(radii_p, radii_r)
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+    np.testing.assert_allclose(invd_p, invd_r, atol=2e-5)
+
+
+def test_pallas_matches_reference_dense_overlap():
+    """Many overlapping near-opaque Gaussians exercise early termination."""
+    rng = np.random.default_rng(11)
+    means, colors, opac, scales, quats = make_scene(
+        rng, P=128, spread=0.15, opacity_hi=0.999
+    )
+    opac = jnp.clip(opac * 1.2, 0, 0.999)
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+    out_p, _, invd_p = rasterize(
+        means, colors, opac, scales, quats, cam, bg, RasterizeSettings(chunk=8)
+    )
+    out_r, _, invd_r = rasterize_reference(means, colors, opac, scales, quats, cam, bg)
+    np.testing.assert_allclose(out_p, out_r, atol=3e-5)
+    np.testing.assert_allclose(invd_p, invd_r, atol=3e-5)
+
+
+def test_empty_scene_gives_background():
+    cam = make_cam(32)
+    bg = jnp.linspace(0.2, 0.8, C)
+    means = jnp.asarray([[0.0, 0.0, -5.0]])  # behind camera -> culled
+    out, radii, invd = rasterize(
+        means,
+        jnp.ones((1, C)),
+        jnp.ones((1, 1)),
+        jnp.full((1, 3), 0.05),
+        jnp.asarray([[1.0, 0, 0, 0]]),
+        cam,
+        bg,
+    )
+    assert int(radii[0]) == 0
+    np.testing.assert_allclose(
+        out, np.broadcast_to(np.asarray(bg)[:, None, None], (C, 32, 32)), atol=1e-6
+    )
+    np.testing.assert_allclose(invd, 0.0, atol=1e-7)
+
+
+def test_single_gaussian_analytic():
+    """One isotropic Gaussian at the center: peak alpha and color at center."""
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+    col = jnp.ones((1, C)) * 0.7
+    out, radii, invd = rasterize(
+        jnp.asarray([[0.0, 0.0, 2.0]]),
+        col,
+        jnp.asarray([[0.8]]),
+        jnp.full((1, 3), 0.08),
+        jnp.asarray([[1.0, 0, 0, 0]]),
+        cam,
+        bg,
+    )
+    out = np.asarray(out)
+    # center pixels = (31/2, 31/2) -> peak near pixels 15/16
+    # peak sits between pixel centers (mean at 15.5): alpha there is
+    # op * exp(-0.5 * 0.5 / sigma^2) with sigma_px^2 ~= (0.08*32/2)^2 + 0.3
+    patch = out[0, 14:18, 14:18]
+    assert patch.max() > 0.7 * 0.8 * 0.85
+    # symmetric
+    np.testing.assert_allclose(out[0, 15, 14], out[0, 15, 17], atol=1e-3)
+    # invdepth near center ~ alpha * (1/2.0)
+    assert abs(float(invd[0, 15, 15]) / float(out[0, 15, 15] / 0.7) - 0.5) < 0.01
+
+
+def test_depth_ordering():
+    """A front opaque Gaussian must hide one behind it."""
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+    means = jnp.asarray([[0.0, 0.0, 3.0], [0.0, 0.0, 1.5]])
+    colors = jnp.stack([jnp.ones(C), jnp.zeros(C)])
+    opac = jnp.asarray([[0.99], [0.99]])
+    scales = jnp.full((2, 3), 0.2)
+    quats = jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
+    out, _, _ = rasterize(means, colors, opac, scales, quats, cam, bg)
+    # the near gaussian (black) dominates: center far below 0.5
+    assert float(out[0, 15, 15]) < 0.05
+
+
+def test_gradients_match_reference(scene):
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+    target = jnp.ones((C, 32, 32)) * 0.3
+
+    def loss_pallas(m, c, o, s, q):
+        out, _, _ = rasterize(m, c, o, s, q, cam, bg, RasterizeSettings(chunk=8))
+        return jnp.mean((out - target) ** 2)
+
+    def loss_ref(m, c, o, s, q):
+        out, _, _ = rasterize_reference(m, c, o, s, q, cam, bg)
+        return jnp.mean((out - target) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(means, colors, opac, scales, quats)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(means, colors, opac, scales, quats)
+    names = ["means", "colors", "opac", "scales", "quats"]
+    for n, a, b in zip(names, gp, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4, err_msg=n)
+
+
+def test_gradient_finite_difference():
+    rng = np.random.default_rng(3)
+    means, colors, opac, scales, quats = make_scene(rng, P=8)
+    cam = make_cam(16)
+    bg = jnp.zeros(C)
+
+    def loss(o):
+        out, _, _ = rasterize(means, colors, o, scales, quats, cam, bg,
+                              RasterizeSettings(chunk=8))
+        return jnp.sum(out[:4] ** 2)
+
+    g = jax.grad(loss)(opac)
+    eps = 1e-3
+    for i in [0, 3, 5]:
+        do = jnp.zeros_like(opac).at[i, 0].set(eps)
+        fd = (loss(opac + do) - loss(opac - do)) / (2 * eps)
+        np.testing.assert_allclose(g[i, 0], fd, rtol=5e-2, atol=1e-4)
+
+
+def test_projection_radius_and_depth(scene):
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    proj = project_gaussians(means, scales, quats, opac, cam)
+    assert bool(jnp.all(proj.depth[proj.valid] > 0.2))
+    assert bool(jnp.all(proj.radius[proj.valid] > 0))
+
+
+def test_look_at_camera_projection():
+    cam = look_at_camera([0, 0, -3], [0, 0, 0], width=32, height=32)
+    from guava_renderer_tpu.core.cameras import project_points
+
+    px, z = project_points(cam, jnp.asarray([[0.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(z[0], 3.0, atol=1e-5)
+    np.testing.assert_allclose(px[0], [15.5, 15.5], atol=1e-4)
