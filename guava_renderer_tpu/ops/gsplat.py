@@ -270,7 +270,7 @@ def _fwd_kernel(
 
     out = acc + T.reshape(PIX, 1) * bg_ref[0][None, :]
     out_ref[:] = out.reshape(tile, tile, _CCH)
-    t_ref[:] = T.reshape(tile, tile)
+    t_ref[:] = T.reshape(1, 1, tile, tile)
 
 
 def _bwd_kernel(
@@ -459,7 +459,7 @@ def _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk):
         ],
         out_specs=[
             pl.BlockSpec((tile, tile, _CCH), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, tile), lambda i, j, r: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, tile), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
@@ -472,7 +472,7 @@ def _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((height, width, _CCH), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, tile, tile), jnp.float32),
         ],
         interpret=_interpret(),
     )(ranges, packed, bg.reshape(1, _CCH))
@@ -497,7 +497,7 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, _CCH), lambda i, j, r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, tile), lambda i, j, r: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, tile), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, tile, _CCH), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, tile, _CCH), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
         ],
@@ -525,8 +525,9 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
     row = jnp.arange(N, dtype=jnp.int32)[:, None]
     dpacked = jnp.where(row < n_valid, dpacked, 0.0)
 
-    # d(bg): sum over pixels of T * g_out
-    g_bg = jnp.einsum("hw,hwc->c", t, g_out)
+    # d(bg): sum over pixels of T * g_out (t is in (gy, gx, ty, tx) layout)
+    t_img = t.transpose(0, 2, 1, 3).reshape(height, width)
+    g_bg = jnp.einsum("hw,hwc->c", t_img, g_out)
     return dpacked, None, g_bg
 
 
