@@ -1,0 +1,101 @@
+"""Gaussian attribute decoders.
+
+Parity with the reference decoders
+(ref: models/modules/net_module/feature_decoder.py:9-137):
+* VertexGSDecoder: shared 4-layer MLP trunk, then per-attribute heads
+  conditioned on the harmonic-embedded camera direction; scale head is
+  sigmoid * 0.05, rotation normalized quaternion.
+* UVPointGSDecoder: conv trunk + conv heads on the UV feature chart; scale
+  head is exp; extra local_pos head.
+
+Per-vertex MLPs lower to (B*V, C) matmuls; the conv decoder stays NHWC.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import leaky_relu
+
+
+class VertexGSDecoder(nn.Module):
+    in_dim: int = 512
+    dir_dim: int = 27
+    color_dim: int = 32
+    scale_max: float = 0.05
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, cam_dirs: jnp.ndarray) -> dict:
+        """features (B, V, in_dim), cam_dirs (B, dir_dim) -> per-vertex attrs."""
+        h = self.in_dim // 2
+        x = features
+        for i in range(4):
+            x = nn.Dense(h, name=f"trunk{i}")(x)
+            if i < 3:
+                x = nn.relu(x)
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(cam_dirs[:, None], (x.shape[0], x.shape[1], self.dir_dim))],
+            axis=-1,
+        )
+
+        def head(name, out):
+            y = nn.relu(nn.Dense(128, name=f"{name}0")(x))
+            return nn.Dense(out, name=f"{name}1")(y)
+
+        colors = head("color", self.color_dim)
+        opacities = nn.sigmoid(head("opacity", 1))
+        scales = nn.sigmoid(head("scale", 3)) * self.scale_max
+        rot = head("rotation", 4)
+        rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+        return {
+            "colors": colors,
+            "opacities": opacities,
+            "scales": scales,
+            "rotations": rot,
+            "static_offsets": None,
+        }
+
+
+class UVPointGSDecoder(nn.Module):
+    in_dim: int = 128
+    dir_dim: int = 27
+    color_dim: int = 32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, cam_dirs: jnp.ndarray) -> dict:
+        """features (B, U, U, in_dim) NHWC, cam_dirs (B, dir_dim).
+
+        Returns dict of (B, U, U, C) maps (matches the reference's permuted
+        B,H,W,C output, feature_decoder.py:134-136)."""
+        h1 = max(self.in_dim, 128)
+        h2 = max(self.in_dim // 2, 64)
+        B, U = features.shape[0], features.shape[1]
+        dirs = jnp.broadcast_to(
+            cam_dirs[:, None, None, :], (B, U, U, self.dir_dim)
+        )
+        x = jnp.concatenate([features, dirs], axis=-1)
+        for i in range(3):
+            x = nn.Conv(h1, (3, 3), padding=1, name=f"trunk{i}")(x)
+            if i < 2:
+                x = leaky_relu(x, 0.01)
+
+        def head2(name, mid, out, k_last=1):
+            y = leaky_relu(nn.Conv(mid, (3, 3), padding=1, name=f"{name}0")(x), 0.01)
+            return nn.Conv(out, (k_last, k_last), padding=k_last // 2, name=f"{name}1")(y)
+
+        colors = head2("color", h1, self.color_dim)
+        opacities = nn.sigmoid(head2("opacity", h2, 1))
+        scales = jnp.exp(head2("scale", h2, 3))
+        rot = head2("rotation", h2, 4)
+        rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+        y = leaky_relu(nn.Conv(h1, (3, 3), padding=1, name="localpos0")(x), 0.01)
+        y = leaky_relu(nn.Conv(h2, (3, 3), padding=1, name="localpos1")(y), 0.01)
+        local_pos = nn.Conv(3, (1, 1), name="localpos2")(y)
+        return {
+            "colors": colors,
+            "opacities": opacities,
+            "scales": scales,
+            "rotations": rot,
+            "local_pos": local_pos,
+        }

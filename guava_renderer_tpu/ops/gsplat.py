@@ -11,10 +11,16 @@ with a TPU-first design:
            boundaries via searchsorted replace identifyTileRanges.
   stage 3  per-tile blend (Pallas, custom_vjp):   each grid step owns a
            16x16 pixel tile, streams its depth-sorted instance run from HBM
-           in chunks, computes alphas for chunk x pixels on the VPU, turns
-           front-to-back compositing into a chunk-local cumulative product +
-           one (pixels x chunk) @ (chunk x channels) MXU matmul, with
-           early-exit when every pixel saturates (T < 1e-4).
+           in chunks (double-buffered DMA), computes alphas for
+           chunk x pixels on the VPU, turns front-to-back compositing into a
+           chunk-local cumulative product + one (channels x chunk) @
+           (chunk x pixels) MXU matmul, with early-exit when every pixel
+           saturates (T < 1e-4).
+
+In-kernel layout is (channels, pixels): channels ride the sublanes, the 256
+tile pixels fill exactly two 128-wide lanes — no lane<->sublane reshapes.
+Tile-shaped tensors cross the Pallas boundary in (gy, gx, C, 256) layout and
+are rearranged to images by XLA.
 
 Blending matches the CUDA renderCUDA<32> semantics exactly
 (ref: forward.cu:276-397): alpha = min(0.99, a*exp(power)), skip power>0 or
@@ -24,9 +30,9 @@ background blend, expected inverse depth (carried as channel 32).
 The backward Pallas kernel replays each tile front-to-back, producing
 per-INSTANCE gradients written contiguously (each instance belongs to one
 tile, so there are no atomics — the CUDA kernel's atomicAdd storm becomes a
-segment-sum in XLA), then XLA autodiff chains through stage 1.
-Gradient conventions follow backward.cu:452-637, including flowing through
-the 0.99 alpha clamp as identity.
+differentiable gather/scatter-add in XLA), then XLA autodiff chains through
+stage 1. Gradient conventions follow backward.cu:452-637, including flowing
+through the 0.99 alpha clamp as identity.
 """
 
 from __future__ import annotations
@@ -42,10 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.cameras import Camera
 from .gsplat_project import project_gaussians, tile_rect
 
-# packed-instance layout (lanes)
+# packed-instance layout (lanes). Rows are padded to 128 lanes: HBM DMA
+# slices must be 128-aligned in the minor dimension, and Mosaic lays HBM
+# refs out lane-padded regardless, so the padding costs no extra memory.
 _GEOM = 8            # [x, y, conic_a, conic_b, conic_c, alpha, 0, 0]
 _CCH = 40            # [color 0..31, invdepth, 0 x7]
-_PK = _GEOM + _CCH   # 48
+_PK = 128            # geom(8) + colors(40) + pad(80)
 NUM_CHANNELS = 32
 
 ALPHA_MIN = 1.0 / 255.0
@@ -65,13 +73,6 @@ class RasterizeSettings(NamedTuple):
     instance_budget: int | None = None  # cap on sorted instances (None = P*TPG)
     scale_modifier: float = 1.0
     antialiasing: bool = False
-
-
-class BinnedInstances(NamedTuple):
-    packed: jnp.ndarray       # (N, 48) f32 per-instance render data, (tile,depth)-sorted
-    ranges: jnp.ndarray       # (T+1,) i32 run boundaries per tile
-    gauss_idx: jnp.ndarray    # (N,) i32 instance -> gaussian id (for grad scatter)
-    num_valid: jnp.ndarray    # () i32
 
 
 # ---------------------------------------------------------------------------
@@ -118,9 +119,7 @@ def bin_gaussians(
     tile_id = jnp.where(dup_valid, tile_id, num_tiles).astype(jnp.int32)
 
     depth_b = jnp.broadcast_to(depth[:, None], (P, tpg))
-    gid = jnp.broadcast_to(
-        jnp.arange(P, dtype=jnp.int32)[:, None], (P, tpg)
-    )
+    gid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, tpg))
     tile_flat = tile_id.reshape(-1)
     sorted_tile, _, order = jax.lax.sort(
         (tile_flat, depth_b.reshape(-1), gid.reshape(-1)), num_keys=2
@@ -138,7 +137,7 @@ def bin_gaussians(
 
 
 # ---------------------------------------------------------------------------
-# stage 3: Pallas tile blend
+# stage 3: Pallas tile blend, (channels, pixels) layout
 # ---------------------------------------------------------------------------
 
 
@@ -163,11 +162,18 @@ def _cumsum_sublanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return x
 
 
-def _chunk_alphas(geom, px, py, j_valid):
-    """Shared forward math for one chunk.
+def _pixel_coords(tile: int):
+    PIX = tile * tile
+    y0 = pl.program_id(0) * tile
+    x0 = pl.program_id(1) * tile
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = (x0 + lin % tile).astype(jnp.float32)
+    py = (y0 + lin // tile).astype(jnp.float32)
+    return px, py
 
-    geom (G, 8), px/py (1, PIX). Returns (alpha_masked (G, PIX), d0, d1, gexp).
-    """
+
+def _chunk_alphas(geom, px, py, j_valid):
+    """geom (G, 48-slice), px/py (1, PIX) -> (alpha_masked, d0, d1, gexp), all (G, PIX)."""
     xy0 = geom[:, 0:1]
     xy1 = geom[:, 1:2]
     ca = geom[:, 2:3]
@@ -184,17 +190,16 @@ def _chunk_alphas(geom, px, py, j_valid):
 
 
 def _fwd_kernel(
-    # scalar prefetch
-    ranges_ref,
-    # inputs
-    packed_hbm,
-    bg_ref,
-    # outputs
-    out_ref,
-    t_ref,
-    # scratch
+    ranges_ref,    # scalar prefetch (T+1,)
+    packed_hbm,    # (N, _PK) instances
+    bg_ref,        # (CCH, 1)
+    out_ref,       # block (1, 1, CCH, PIX)
+    t_ref,         # block (1, 1, 1, PIX)
     buf,
     sems,
+    acc_ref,       # scratch (CCH, PIX)
+    state_ref,     # scratch (8, PIX): row0 = T, row1 = dead
+    flag_ref,      # scratch SMEM (1,): 1 when every pixel saturated
     *,
     tile: int,
     chunk: int,
@@ -207,13 +212,7 @@ def _fwd_kernel(
     end = ranges_ref[t_idx + 1]
     num = end - start
     nchunks = pl.cdiv(num, G)
-
-    # pixel coordinates of this tile, flattened (1, PIX)
-    y0 = pl.program_id(0) * tile
-    x0 = pl.program_id(1) * tile
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    px = (x0 + lin % tile).astype(jnp.float32)
-    py = (y0 + lin // tile).astype(jnp.float32)
+    px, py = _pixel_coords(tile)
 
     def dma(slot, c):
         return pltpu.make_async_copy(
@@ -224,12 +223,17 @@ def _fwd_kernel(
     def _():
         dma(0, 0).start()
 
-    def cond(carry):
-        c, T, dead, acc = carry
-        return (c < nchunks) & jnp.logical_not(jnp.all(dead))
+    acc_ref[:] = jnp.zeros((_CCH, PIX), jnp.float32)
+    state_ref[:] = jnp.zeros((8, PIX), jnp.float32)
+    state_ref[0:1, :] = jnp.ones((1, PIX), jnp.float32)
+    flag_ref[0] = 0
 
-    def body(carry):
-        c, T, dead, acc = carry
+    # loop state lives in scratch refs; the while carry is the chunk counter
+    # only (Mosaic cannot yield padded vector carries from scf.while)
+    def cond(c):
+        return (c < nchunks) & (flag_ref[0] == 0)
+
+    def body(c):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -237,56 +241,60 @@ def _fwd_kernel(
             dma(1 - slot, c + 1).start()
 
         dma(slot, c).wait()
-        data = buf[slot]  # (G, 48)
+        data = buf[slot]              # (G, _PK)
         geom = data[:, :_GEOM]
-        colors = data[:, _GEOM:]  # (G, 40)
+        colors = data[:, _GEOM:_GEOM + _CCH]      # (G, CCH)
+
+        T = state_ref[0:1, :]
+        dead = state_ref[1:2, :] > 0.5
 
         j = jax.lax.broadcasted_iota(jnp.int32, (G, PIX), 0)
         j_valid = (j + c * G) < num
         at, _, _, _ = _chunk_alphas(geom, px, py, j_valid)
         at = jnp.where(dead, 0.0, at)
 
-        P_incl = T * _cumprod_sublanes(1.0 - at, G)  # (G, PIX)
+        P_incl = T * _cumprod_sublanes(1.0 - at, G)   # (G, PIX)
         live = P_incl >= T_MIN
-        E = P_incl / (1.0 - at)  # exclusive prefix (safe: at <= 0.99)
+        E = P_incl / (1.0 - at)                        # exclusive prefix
         w = jnp.where(live, at * E, 0.0)
 
-        acc = acc + jax.lax.dot_general(
-            w,
-            colors,
+        # (CCH, PIX) += colors^T @ w  — MXU
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            colors, w,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (PIX, 40)
+        )
 
         T_new = jnp.min(jnp.where(live, P_incl, jnp.inf), axis=0, keepdims=True)
         T = jnp.minimum(T, T_new)
-        dead = dead | jnp.any((at > 0.0) & jnp.logical_not(live), axis=0, keepdims=True)
-        return c + 1, T, dead, acc
+        died = jnp.any((at > 0.0) & jnp.logical_not(live), axis=0, keepdims=True)
+        dead_f = jnp.maximum(state_ref[1:2, :], died.astype(jnp.float32))
+        state_ref[0:1, :] = T
+        state_ref[1:2, :] = dead_f
+        flag_ref[0] = (jnp.min(dead_f) > 0.5).astype(jnp.int32)
+        return c + 1
 
-    T0 = jnp.ones((1, PIX), jnp.float32)
-    dead0 = jnp.zeros((1, PIX), jnp.bool_)
-    acc0 = jnp.zeros((PIX, _CCH), jnp.float32)
-    _, T, _, acc = jax.lax.while_loop(cond, body, (0, T0, dead0, acc0))
+    jax.lax.while_loop(cond, body, 0)
 
-    out = acc + T.reshape(PIX, 1) * bg_ref[0][None, :]
-    out_ref[:] = out.reshape(tile, tile, _CCH)
-    t_ref[:] = T.reshape(1, 1, tile, tile)
+    T = state_ref[0:1, :]
+    out = acc_ref[:] + bg_ref[:] * T               # (CCH,1)*(1,PIX)
+    out_ref[:] = out.reshape(1, 1, _CCH, PIX)
+    t_ref[:] = T.reshape(1, 1, 1, PIX)
 
 
 def _bwd_kernel(
     ranges_ref,
-    packed_hbm,
-    bg_ref,
-    t_in_ref,      # final_T (tile, tile)
-    out_in_ref,    # forward output block (tile, tile, CCH)
-    gout_ref,      # dL/dout block (tile, tile, CCH)
-    # outputs
-    dpacked_hbm,   # (N, 48) per-instance grads (ANY/HBM)
-    # scratch
+    packed_hbm,    # (N, _PK)
+    bg_ref,        # (CCH, 1)
+    t_in_ref,      # block (1, 1, 1, PIX)
+    out_in_ref,    # block (1, 1, CCH, PIX)
+    gout_ref,      # block (1, 1, CCH, PIX)
+    dpacked_hbm,   # out: (N, _PK) per-instance grads
     buf,
     dbuf,
     sems,
     dsems,
+    state_ref,     # scratch (8, PIX): row0 T, row1 dead, row2 gp
     *,
     tile: int,
     chunk: int,
@@ -299,21 +307,14 @@ def _bwd_kernel(
     end = ranges_ref[t_idx + 1]
     num = end - start
     nchunks = pl.cdiv(num, G)
+    px, py = _pixel_coords(tile)
 
-    y0 = pl.program_id(0) * tile
-    x0 = pl.program_id(1) * tile
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    px = (x0 + lin % tile).astype(jnp.float32)
-    py = (y0 + lin // tile).astype(jnp.float32)
-
-    g_out = gout_ref[:].reshape(PIX, _CCH)          # (PIX, 40)
+    g_out = gout_ref[:].reshape(_CCH, PIX)
     T_final = t_in_ref[:].reshape(1, PIX)
-    bg = bg_ref[0]                                   # (40,)
-    # total foreground accumulation = out - T_final * bg
-    acc_total = out_in_ref[:].reshape(PIX, _CCH) - T_final.reshape(PIX, 1) * bg[None, :]
-    # u = g . acc_total per pixel; gbg = g . bg per pixel
-    u = jnp.sum(g_out * acc_total, axis=-1).reshape(1, PIX)
-    gbg = jnp.sum(g_out * bg[None, :], axis=-1).reshape(1, PIX)
+    bg = bg_ref[:]                                  # (CCH, 1)
+    acc_total = out_in_ref[:].reshape(_CCH, PIX) - bg * T_final
+    u = jnp.sum(g_out * acc_total, axis=0, keepdims=True)   # (1, PIX)
+    gbg = jnp.sum(g_out * bg, axis=0, keepdims=True)        # (1, PIX)
 
     def dma_in(slot, c):
         return pltpu.make_async_copy(
@@ -329,12 +330,10 @@ def _bwd_kernel(
     def _():
         dma_in(0, 0).start()
 
-    def cond(carry):
-        c, T, dead, gp = carry
-        return c < nchunks  # must visit every chunk to zero its grads
+    state_ref[:] = jnp.zeros((8, PIX), jnp.float32)
+    state_ref[0:1, :] = jnp.ones((1, PIX), jnp.float32)
 
-    def body(carry):
-        c, T, dead, gp = carry
+    def body(c, _):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -342,14 +341,19 @@ def _bwd_kernel(
             dma_in(1 - slot, c + 1).start()
 
         dma_in(slot, c).wait()
-        # previous chunk's grad write must have finished before reuse
+
+        # the grad write from two chunks ago must land before slot reuse
         @pl.when(c >= 2)
         def _():
             dma_out(slot, c - 2).wait()
 
         data = buf[slot]
         geom = data[:, :_GEOM]
-        colors = data[:, _GEOM:]
+        colors = data[:, _GEOM:_GEOM + _CCH]
+
+        T = state_ref[0:1, :]
+        dead = state_ref[1:2, :] > 0.5
+        gp = state_ref[2:3, :]
 
         j = jax.lax.broadcasted_iota(jnp.int32, (G, PIX), 0)
         j_valid = (j + c * G) < num
@@ -362,108 +366,105 @@ def _bwd_kernel(
         w = jnp.where(live, at * E, 0.0)
         used = live & (at > 0.0)
 
-        # per-(instance,pixel) color-dot grads
+        # per-(instance,pixel) color-dot grads: (G, PIX) = colors @ g_out
         gc = jax.lax.dot_general(
-            colors,
-            g_out,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            colors, g_out,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (G, PIX)
+        )
         wgc = w * gc
-        prefix_incl = gp + _cumsum_sublanes(wgc, G)  # (G, PIX)
-        suffix = u - prefix_incl                      # g . S_i
+        prefix_incl = gp + _cumsum_sublanes(wgc, G)          # (G, PIX)
+        suffix = u - prefix_incl                              # g . S_i
         inv1ma = 1.0 / (1.0 - at)
-        # dL/dalpha_{i,pix}: color term + background term (backward.cu:598-618)
+        # dL/dalpha (color + background terms, backward.cu:585-618)
         dalpha_pix = jnp.where(
             used,
             E * gc - suffix * inv1ma - T_final * inv1ma * gbg,
             0.0,
         )
 
-        # chain to geometry per instance (sum over pixels)
         a_op = geom[:, 5:6]
-        capped = (a_op * gexp) > ALPHA_MAX
-        # CUDA flows through the clamp as identity (backward.cu:583,635)
+        # CUDA flows through the 0.99 clamp as identity (backward.cu:583,635)
         dG = jnp.where(used, a_op * dalpha_pix, 0.0)
-        dop = jnp.sum(jnp.where(used, gexp * dalpha_pix, 0.0), axis=1)
-        del capped
         ca = geom[:, 2:3]
         cb = geom[:, 3:4]
         cc = geom[:, 4:5]
         gdx = gexp * d0
         gdy = gexp * d1
-        dmx = jnp.sum(dG * (-gdx * ca - gdy * cb), axis=1)
-        dmy = jnp.sum(dG * (-gdy * cc - gdx * cb), axis=1)
-        dca = jnp.sum(dG * (-0.5 * gdx * d0), axis=1)
-        dcb = jnp.sum(dG * (-gdx * d1), axis=1)
-        dcc = jnp.sum(dG * (-0.5 * gdy * d1), axis=1)
+        dop = jnp.sum(jnp.where(used, gexp * dalpha_pix, 0.0), axis=1, keepdims=True)
+        dmx = jnp.sum(dG * (-gdx * ca - gdy * cb), axis=1, keepdims=True)
+        dmy = jnp.sum(dG * (-gdy * cc - gdx * cb), axis=1, keepdims=True)
+        dca = jnp.sum(dG * (-0.5 * gdx * d0), axis=1, keepdims=True)
+        dcb = jnp.sum(dG * (-gdx * d1), axis=1, keepdims=True)
+        dcc = jnp.sum(dG * (-0.5 * gdy * d1), axis=1, keepdims=True)
 
-        # per-instance color grads: (G, PIX) @ (PIX, 40)
+        # per-instance color grads: (G, CCH) = w @ g_out^T
         dcol = jax.lax.dot_general(
-            w,
-            g_out,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            w, g_out,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (G, 40)
+        )
 
-        dgeom = jnp.stack(
-            [dmx, dmy, dca, dcb, dcc, dop, jnp.zeros_like(dop), jnp.zeros_like(dop)],
-            axis=-1,
+        zeros = jnp.zeros_like(dop)
+        dgeom = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop, zeros, zeros], axis=1
         )  # (G, 8)
-        dbuf[slot] = jnp.concatenate([dgeom, dcol], axis=-1)
+        pad = jnp.zeros((G, _PK - _GEOM - _CCH), jnp.float32)
+        dbuf[slot] = jnp.concatenate([dgeom, dcol, pad], axis=1)
         dma_out(slot, c).start()
 
         T_new = jnp.min(jnp.where(live, P_incl, jnp.inf), axis=0, keepdims=True)
-        T = jnp.minimum(T, T_new)
-        dead = dead | jnp.any((at > 0.0) & jnp.logical_not(live), axis=0, keepdims=True)
-        gp_new = jnp.max(prefix_incl, axis=0, keepdims=True)  # cumsum is monotone? no —
-        # wgc can be negative; take the true last row instead
-        gp_new = prefix_incl[G - 1 : G, :]
-        return c + 1, T, dead, gp_new
+        died = jnp.any((at > 0.0) & jnp.logical_not(live), axis=0, keepdims=True)
+        state_ref[0:1, :] = jnp.minimum(T, T_new)
+        state_ref[1:2, :] = jnp.maximum(state_ref[1:2, :], died.astype(jnp.float32))
+        state_ref[2:3, :] = prefix_incl[G - 1 : G, :]
+        return 0
 
-    T0 = jnp.ones((1, PIX), jnp.float32)
-    dead0 = jnp.zeros((1, PIX), jnp.bool_)
-    gp0 = jnp.zeros((1, PIX), jnp.float32)
-    c_fin, _, _, _ = jax.lax.while_loop(cond, body, (0, T0, dead0, gp0))
+    # must visit every chunk (all instance grads must be written)
+    jax.lax.fori_loop(0, nchunks, body, 0)
 
     # drain outstanding grad writes
-    @pl.when(c_fin >= 2)
+    @pl.when(nchunks >= 2)
     def _():
-        dma_out(jax.lax.rem(c_fin, 2), c_fin - 2).wait()
+        dma_out(jax.lax.rem(nchunks, 2), nchunks - 2).wait()
 
-    @pl.when(c_fin >= 1)
+    @pl.when(nchunks >= 1)
     def _():
-        dma_out(jax.lax.rem(c_fin - 1, 2), c_fin - 1).wait()
+        dma_out(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper
+# custom_vjp wrapper (tiled-layout boundary)
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def blend_tiles(packed, ranges, bg, height, width, tile, chunk):
-    out, t = _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk)
-    return out, t
+    """-> (out (gy, gx, CCH, tile*tile), final_T (gy, gx, 1, tile*tile))."""
+    return _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk)
 
 
 def _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk):
     gy = height // tile
     gx = width // tile
+    PIX = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gy, gx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, _CCH), lambda i, j, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CCH, 1), lambda i, j, r: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile, tile, _CCH), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile, tile), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _CCH, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_CCH, PIX), jnp.float32),
+            pltpu.VMEM((8, PIX), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk, grid_x=gx)
@@ -471,11 +472,11 @@ def _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((height, width, _CCH), jnp.float32),
-            jax.ShapeDtypeStruct((gy, gx, tile, tile), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, _CCH, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, 1, PIX), jnp.float32),
         ],
         interpret=_interpret(),
-    )(ranges, packed, bg.reshape(1, _CCH))
+    )(ranges, packed, bg.reshape(_CCH, 1))
     return out, t
 
 
@@ -490,16 +491,17 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
     del g_t  # final_T treated as an auxiliary, non-differentiable output
     gy = height // tile
     gx = width // tile
+    PIX = tile * tile
     N = packed.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gy, gx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, _CCH), lambda i, j, r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile, tile), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, tile, _CCH), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, tile, _CCH), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CCH, 1), lambda i, j, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _CCH, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _CCH, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -509,6 +511,7 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((8, PIX), jnp.float32),
         ],
     )
     kernel = functools.partial(_bwd_kernel, tile=tile, chunk=chunk, grid_x=gx)
@@ -518,20 +521,27 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
         out_shape=[jax.ShapeDtypeStruct((N, _PK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(ranges, packed, bg.reshape(1, _CCH), t, out, g_out)[0]
+    )(ranges, packed, bg.reshape(_CCH, 1), t, out, g_out)[0]
 
     # rows past the last valid instance were never written — zero them
     n_valid = ranges[-1]
     row = jnp.arange(N, dtype=jnp.int32)[:, None]
     dpacked = jnp.where(row < n_valid, dpacked, 0.0)
 
-    # d(bg): sum over pixels of T * g_out (t is in (gy, gx, ty, tx) layout)
-    t_img = t.transpose(0, 2, 1, 3).reshape(height, width)
-    g_bg = jnp.einsum("hw,hwc->c", t_img, g_out)
+    # d(bg): sum over pixels of T * g_out
+    g_bg = jnp.einsum("yxop,yxcp->c", t, g_out)
     return dpacked, None, g_bg
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
+
+
+def _tiled_to_image(x: jnp.ndarray, height: int, width: int, tile: int) -> jnp.ndarray:
+    """(gy, gx, C, tile*tile) -> (height, width, C)."""
+    gy, gx, C, _ = x.shape
+    x = x.reshape(gy, gx, C, tile, tile)
+    x = x.transpose(0, 3, 1, 4, 2)  # gy, ty, gx, tx, C
+    return x.reshape(height, width, C)
 
 
 # ---------------------------------------------------------------------------
@@ -575,8 +585,9 @@ def rasterize(
 
     # gather per-instance packed data (differentiable take)
     invd = 1.0 / jnp.maximum(proj.depth, 1e-8)
-    zeros2 = jnp.zeros((means3d.shape[0], 2), jnp.float32)
-    pad7 = jnp.zeros((means3d.shape[0], _CCH - NUM_CHANNELS - 1), jnp.float32)
+    P = means3d.shape[0]
+    zeros2 = jnp.zeros((P, 2), jnp.float32)
+    pad_tail = jnp.zeros((P, _PK - _GEOM - NUM_CHANNELS - 1), jnp.float32)
     per_gauss = jnp.concatenate(
         [
             proj.mean2d,
@@ -585,10 +596,10 @@ def rasterize(
             zeros2,
             colors,
             invd[:, None],
-            pad7,
+            pad_tail,
         ],
         axis=-1,
-    )  # (P, 48)
+    )  # (P, _PK)
     packed = per_gauss[order]
     # chunk DMAs may over-read past a short final run — pad by one chunk
     G = settings.chunk
@@ -598,7 +609,8 @@ def rasterize(
     )
 
     bg_ext = jnp.concatenate([bg, jnp.zeros(_CCH - NUM_CHANNELS, bg.dtype)])
-    out, final_t = blend_tiles(packed, ranges, bg_ext, H, W, tile, settings.chunk)
+    out4, _ = blend_tiles(packed, ranges, bg_ext, H, W, tile, settings.chunk)
+    out = _tiled_to_image(out4, H, W, tile)  # (H, W, CCH)
 
     color = jnp.transpose(out[:, :, :NUM_CHANNELS], (2, 0, 1))
     invdepth = out[:, :, NUM_CHANNELS][None]

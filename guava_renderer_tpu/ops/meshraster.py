@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.cameras import Camera, project_points
 from .gsplat import _interpret
 
-_TF = 16  # packed triangle lanes: [x0,y0,z0, x1,y1,z1, x2,y2,z2, pad x7]
+_TF = 128  # packed triangle lanes: [x0,y0,z0, x1,y1,z1, x2,y2,z2, pad] (128-lane aligned for HBM DMA)
 
 
 class MeshRasterResult(NamedTuple):
@@ -101,7 +101,9 @@ def _mesh_kernel(
         zpix = jnp.where(inside, zpix, jnp.inf)
 
         zmin = jnp.min(zpix, axis=0, keepdims=True)  # (1, PIX)
-        arg = jnp.argmin(zpix, axis=0)[None, :]      # (1, PIX) row within chunk
+        row = jax.lax.broadcasted_iota(jnp.int32, (G, PIX), 0)
+        # first row achieving the min (deterministic tie-break)
+        arg = jnp.min(jnp.where(zpix == zmin, row, G), axis=0, keepdims=True)
         inst = start + c * G + arg
         upd = zmin < z
         best = jnp.where(upd, inst, best)
@@ -111,8 +113,8 @@ def _mesh_kernel(
     best0 = jnp.full((1, PIX), -1, jnp.int32)
     z0 = jnp.full((1, PIX), jnp.inf, jnp.float32)
     best, z = jax.lax.fori_loop(0, nchunks, body, (best0, z0))
-    best_ref[:] = best.reshape(1, 1, tile, tile)
-    z_ref[:] = z.reshape(1, 1, tile, tile)
+    best_ref[:] = best.reshape(1, 1, 1, PIX)
+    z_ref[:] = z.reshape(1, 1, 1, PIX)
 
 
 def rasterize_mesh(
@@ -186,8 +188,8 @@ def rasterize_mesh(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile, tile), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile, tile), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile * tile), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile * tile), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, G, _TF), jnp.float32),
@@ -199,13 +201,13 @@ def rasterize_mesh(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gy, gx, tile, tile), jnp.int32),
-            jax.ShapeDtypeStruct((gy, gx, tile, tile), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, 1, tile * tile), jnp.int32),
+            jax.ShapeDtypeStruct((gy, gx, 1, tile * tile), jnp.float32),
         ],
         interpret=_interpret(),
     )(ranges, inst)
-    best = best.transpose(0, 2, 1, 3).reshape(H, W)
-    zimg = zimg.transpose(0, 2, 1, 3).reshape(H, W)
+    best = best.reshape(gy, gx, tile, tile).transpose(0, 2, 1, 3).reshape(H, W)
+    zimg = zimg.reshape(gy, gx, tile, tile).transpose(0, 2, 1, 3).reshape(H, W)
 
     hit = best >= 0
     face_idx = jnp.where(hit, inst_fid[jnp.maximum(best, 0)], -1)
