@@ -1,0 +1,128 @@
+"""LPIPS perceptual distance (Flax).
+
+Parity with the reference's lpipsPyTorch
+(ref: submodules/lpipsPyTorch/modules/lpips.py:17-37, networks.py): frozen
+AlexNet or VGG16 feature stack, per-layer unit-normalization over channels,
+learned 1x1 linear heads, spatial mean, summed over layers.
+
+Weights: `load_torch_state` converts a torch LPIPS checkpoint (backbone +
+lin heads) when one is provided; without it the backbone is random-init —
+the loss mechanism, shapes, and gradients are identical, and the weights
+slot in whenever the (license-gated, non-vendored) files are available.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+IMAGENET_SHIFT = (-0.030, -0.088, -0.188)  # LPIPS 'scaling layer' constants
+IMAGENET_SCALE = (0.458, 0.448, 0.450)
+
+
+class AlexNetFeatures(nn.Module):
+    """The 5 conv stages of AlexNet (torchvision layout)."""
+
+    @nn.compact
+    def __call__(self, x) -> list[jnp.ndarray]:
+        feats = []
+        x = nn.relu(nn.Conv(64, (11, 11), strides=4, padding=2, name="conv0")(x))
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.relu(nn.Conv(192, (5, 5), padding=2, name="conv1")(x))
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.relu(nn.Conv(384, (3, 3), padding=1, name="conv2")(x))
+        feats.append(x)
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1, name="conv3")(x))
+        feats.append(x)
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1, name="conv4")(x))
+        feats.append(x)
+        return feats
+
+
+class VGG16Features(nn.Module):
+    """VGG16 relu1_2 .. relu5_3 feature stages."""
+
+    @nn.compact
+    def __call__(self, x) -> list[jnp.ndarray]:
+        cfg = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+        feats = []
+        li = 0
+        for stage, (ch, n) in enumerate(cfg):
+            for _ in range(n):
+                x = nn.relu(nn.Conv(ch, (3, 3), padding=1, name=f"conv{li}")(x))
+                li += 1
+            feats.append(x)
+            if stage < 4:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return feats
+
+
+_CHANNELS = {"alex": (64, 192, 384, 256, 256), "vgg": (64, 128, 256, 512, 512)}
+
+
+class LPIPS(nn.Module):
+    net_type: str = "alex"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """x, y: (B, H, W, 3) in [0, 1]. Returns mean LPIPS distance (scalar)."""
+        shift = jnp.asarray(IMAGENET_SHIFT, x.dtype)
+        scale = jnp.asarray(IMAGENET_SCALE, x.dtype)
+
+        def norm_input(im):
+            im = im * 2.0 - 1.0  # [0,1] -> [-1,1] (reference convention)
+            return (im - shift) / scale
+
+        backbone = (AlexNetFeatures if self.net_type == "alex" else VGG16Features)(
+            name="backbone"
+        )
+        fx = backbone(norm_input(x))
+        fy = backbone(norm_input(y))
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+            b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+            d = (a - b) ** 2
+            lin = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}")
+            total = total + jnp.mean(lin(d))
+        return total
+
+
+def load_torch_state(params: dict, torch_state: dict, net_type: str = "alex") -> dict:
+    """Convert a torch LPIPS state_dict into this module's params (in place copy).
+
+    Torch conv weights (O, I, H, W) -> flax (H, W, I, O).
+    """
+    import copy
+
+    params = copy.deepcopy(params)
+    p = params["params"]
+
+    def t2f(w):
+        return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+    conv_idx = 0
+    for k in sorted(torch_state):
+        v = torch_state[k]
+        if k.endswith("weight") and v.ndim == 4 and "lin" not in k:
+            name = f"conv{conv_idx}"
+            if name in p["backbone"]:
+                p["backbone"][name]["kernel"] = t2f(v)
+            conv_idx += 1
+        elif k.endswith("bias") and "lin" not in k:
+            name = f"conv{conv_idx - 1}"
+            if name in p["backbone"]:
+                p["backbone"][name]["bias"] = np.asarray(v)
+    lin_idx = 0
+    for k in sorted(torch_state):
+        if "lin" in k and k.endswith("weight"):
+            p[f"lin{lin_idx}"]["kernel"] = t2f(torch_state[k])
+            lin_idx += 1
+    return params
