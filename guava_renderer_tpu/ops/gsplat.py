@@ -131,7 +131,7 @@ def bin_gaussians(
         order = order[: settings.instance_budget]
 
     ranges = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), method="sort"
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), method="scan"
     ).astype(jnp.int32)
     return ranges, order, num_valid
 

@@ -36,19 +36,33 @@ class ProjectedGaussians(NamedTuple):
     valid: jnp.ndarray       # (P,) bool
 
 
-def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+def quat_scale_to_cov3d_rows(quats: jnp.ndarray, scales: jnp.ndarray):
     """(P, 4) wxyz (NOT renormalized, matching ref forward.cu:124) and
-    (P, 3) -> (P, 3, 3) world covariance R diag(s^2) R^T."""
+    (P, 3) -> the 9 entries of M = R diag(s) as (P,) component arrays.
+
+    Fully scalarized: batched (P,3,3) matmuls lower to terrible tiny-MXU
+    code on TPU; component-wise VPU math is ~100x faster at this shape.
+    """
     r, x, y, z = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
-    R = jnp.stack(
-        [
-            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1),
-            jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1),
-            jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1),
-        ],
-        axis=-2,
-    )  # (P, 3, 3)
-    M = R * scales[:, None, :]  # R @ diag(s)
+    sx, sy, sz = scales[:, 0], scales[:, 1], scales[:, 2]
+    m00 = (1 - 2 * (y * y + z * z)) * sx
+    m01 = (2 * (x * y - r * z)) * sy
+    m02 = (2 * (x * z + r * y)) * sz
+    m10 = (2 * (x * y + r * z)) * sx
+    m11 = (1 - 2 * (x * x + z * z)) * sy
+    m12 = (2 * (y * z - r * x)) * sz
+    m20 = (2 * (x * z - r * y)) * sx
+    m21 = (2 * (y * z + r * x)) * sy
+    m22 = (1 - 2 * (x * x + y * y)) * sz
+    return (m00, m01, m02, m10, m11, m12, m20, m21, m22)
+
+
+def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """(P, 3, 3) world covariance R diag(s^2) R^T (reference/tests helper)."""
+    m = quat_scale_to_cov3d_rows(quats, scales)
+    M = jnp.stack(
+        [jnp.stack(m[0:3], -1), jnp.stack(m[3:6], -1), jnp.stack(m[6:9], -1)], axis=-2
+    )
     return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)
 
 
@@ -82,8 +96,8 @@ def project_gaussians(
         axis=-1,
     )
 
-    # world covariance
-    cov3d = quat_scale_to_cov3d(quats, scales * scale_modifier)
+    # world covariance factor M = R diag(s), as scalar components
+    m = quat_scale_to_cov3d_rows(quats, scales * scale_modifier)
 
     # EWA: clamp the tangent before building the Jacobian (ref: forward.cu:81-87)
     lim_x = 1.3 * cam.tanfovx
@@ -93,22 +107,28 @@ def project_gaussians(
     fx, fy = cam.focal_x, cam.focal_y
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    # J (2x3) rows
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, jnp.zeros_like(tz), -fx * txz * inv_z2], -1),
-            jnp.stack([jnp.zeros_like(tz), fy * inv_z, -fy * tyz * inv_z2], -1),
-        ],
-        axis=-2,
-    )  # (P, 2, 3)
-    JW = jnp.matmul(J, cam.R[None], precision=_HI)  # (P, 2, 3)
-    cov2d = jnp.matmul(
-        jnp.matmul(JW, cov3d, precision=_HI), jnp.swapaxes(JW, -1, -2), precision=_HI
-    )  # (P, 2, 2)
-
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    # JW rows (2x3), fully scalarized: J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]]
+    j00, j02 = fx * inv_z, -fx * txz * inv_z2
+    j11, j12 = fy * inv_z, -fy * tyz * inv_z2
+    R = cam.R  # (3, 3) static
+    u0 = j00 * R[0, 0] + j02 * R[2, 0]
+    u1 = j00 * R[0, 1] + j02 * R[2, 1]
+    u2 = j00 * R[0, 2] + j02 * R[2, 2]
+    v0 = j11 * R[1, 0] + j12 * R[2, 0]
+    v1 = j11 * R[1, 1] + j12 * R[2, 1]
+    v2 = j11 * R[1, 2] + j12 * R[2, 2]
+    # rows of (JW) @ M^T ... we need cov2d = (JW) Sigma (JW)^T with
+    # Sigma = M M^T  =>  cov2d = (JW M)(JW M)^T ; p = u.M rows, q = v.M rows
+    m00, m01, m02, m10, m11_, m12_, m20, m21, m22 = m
+    p0 = u0 * m00 + u1 * m10 + u2 * m20
+    p1 = u0 * m01 + u1 * m11_ + u2 * m21
+    p2 = u0 * m02 + u1 * m12_ + u2 * m22
+    q0 = v0 * m00 + v1 * m10 + v2 * m20
+    q1 = v0 * m01 + v1 * m11_ + v2 * m21
+    q2 = v0 * m02 + v1 * m12_ + v2 * m22
+    a = p0 * p0 + p1 * p1 + p2 * p2
+    b = p0 * q0 + p1 * q1 + p2 * q2
+    c = q0 * q0 + q1 * q1 + q2 * q2
     det_raw = a * c - b * b
     a = a + COV_DILATION
     c = c + COV_DILATION

@@ -163,7 +163,7 @@ def rasterize_mesh(
         (tile_id.reshape(-1), fid.reshape(-1)), num_keys=1
     )
     ranges = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), method="sort"
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), method="scan"
     ).astype(jnp.int32)
 
     packed = jnp.concatenate(

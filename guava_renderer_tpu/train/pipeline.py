@@ -1,0 +1,147 @@
+"""Full training pipeline assembly: inferer -> avatar -> deform -> render -> loss.
+
+This is the functional equivalent of the reference's per-iteration block
+(ref: main/trainer.py:72-102): source batch in, avatar predicted, target
+pose deformed, rasterized + refined, Optimization_Loss out. Packaged as a
+pure `loss_fn(params, batch, iteration)` so the same function drives
+single-chip training, the shard_map DP step, and the dry-run harness.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+
+from ..avatar.deformer import deform_avatar
+from ..avatar.inferer import InfererConfig, UbodyGaussianInferer, build_avatar
+from ..avatar.renderer import GaussianRenderer
+from ..bodymodel.ehm import BodyParams, EhmModel, FlameParams
+from ..core.cameras import Camera
+from ..ops.gsplat import RasterizeSettings
+from .losses import LossConfig, OptimizationLoss
+from .lpips import LPIPS
+
+
+class PipelineStatics(NamedTuple):
+    """Non-trainable context threaded through the loss function."""
+
+    ehm: EhmModel
+    faces: jnp.ndarray
+    uvmap_f_idx: jnp.ndarray
+    uvmap_f_bary: jnp.ndarray
+    uvmap_mask: jnp.ndarray
+    inferer: UbodyGaussianInferer
+    renderer: GaussianRenderer
+    lpips: LPIPS
+    loss_cfg: LossConfig
+    image_size: int
+    invtanfov: float
+
+
+def make_models(
+    cfg: InfererConfig,
+    num_vertices: int,
+    refiner_type: str = "styleunet",
+    refiner_channel_scale: float = 1.0,
+    raster_settings: RasterizeSettings = RasterizeSettings(),
+):
+    inferer = UbodyGaussianInferer(cfg=cfg, num_vertices=num_vertices)
+    renderer = GaussianRenderer(
+        refiner_type=refiner_type,
+        image_size=cfg.image_size,
+        channel_scale=refiner_channel_scale,
+        small=True,
+        settings=raster_settings,
+    )
+    return inferer, renderer
+
+
+def _unpack_params(p: dict) -> tuple[BodyParams, FlameParams]:
+    body = BodyParams(
+        shape=p["shape"],
+        body_pose=p["body_pose"],
+        global_pose=p.get("global_pose"),
+        left_hand_pose=p.get("left_hand_pose"),
+        right_hand_pose=p.get("right_hand_pose"),
+        exp=p.get("exp"),
+        joints_offset=p.get("joints_offset"),
+        head_scale=p.get("head_scale"),
+        hand_scale=p.get("hand_scale"),
+    )
+    flame = FlameParams(
+        shape=p["flame_shape"],
+        exp=p["flame_exp"],
+        jaw=p["flame_jaw"],
+        eyes=p.get("flame_eyes"),
+        eyelids=p.get("flame_eyelids"),
+    )
+    return body, flame
+
+
+def forward_pipeline(params: dict, batch: dict, statics: PipelineStatics, rngs=None):
+    """Runs the whole forward path. Returns (render_outputs, avatar, extra)."""
+    src = batch["source"]
+    tgt = batch["target"]
+    body_s, flame_s = _unpack_params(src["params"])
+    avatar, extra = build_avatar(
+        statics.inferer,
+        {"params": params["inferer"]},
+        statics.ehm,
+        statics.faces,
+        statics.uvmap_f_idx,
+        statics.uvmap_f_bary,
+        statics.uvmap_mask,
+        src["image"],
+        src["w2c"],
+        body_s,
+        flame_s,
+        image_size=statics.image_size,
+        invtanfov=statics.invtanfov,
+        rngs=rngs,
+    )
+    body_t, flame_t = _unpack_params(tgt["params"])
+    gaussians = deform_avatar(avatar, statics.ehm, statics.faces, body_t, flame_t)
+
+    B = gaussians.xyz.shape[0]
+    tanfov = 1.0 / statics.invtanfov
+    cams = [
+        Camera(
+            R=tgt["w2c"][b, :3, :3],
+            t=tgt["w2c"][b, :3, 3],
+            tanfovx=jnp.asarray(tanfov, jnp.float32),
+            tanfovy=jnp.asarray(tanfov, jnp.float32),
+            width=statics.image_size,
+            height=statics.image_size,
+        )
+        for b in range(B)
+    ]
+    outputs = statics.renderer.apply(
+        {"params": params["renderer"]}, gaussians, cams, rngs=rngs
+    )
+    return outputs, avatar, extra
+
+
+def make_loss_fn(statics: PipelineStatics, lpips_params: Any):
+    def perceptual(a, b):
+        return statics.lpips.apply({"params": lpips_params}, a, b)
+
+    opt_loss = OptimizationLoss(statics.loss_cfg, perceptual)
+
+    def loss_fn(params, batch, iteration):
+        outputs, avatar, _ = forward_pipeline(params, batch, statics)
+        tgt = batch["target"]
+        total, metrics = opt_loss(
+            outputs.renders,
+            outputs.raw_renders,
+            tgt["image"],
+            tgt["mask"],
+            tgt.get("boxes"),
+            avatar.uv_local_xyz,
+            avatar.uv_scales,
+            iteration,
+        )
+        metrics = dict(metrics, total=total)
+        return total, metrics
+
+    return loss_fn
