@@ -1,0 +1,209 @@
+"""Runtime assembly: config -> assets -> EHM -> models -> pipeline statics.
+
+The glue the reference spreads across main/train.py:17-60 and
+main/test.py:219-260 — built once, shared by every entry point.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..avatar.inferer import InfererConfig, UbodyGaussianInferer
+from ..avatar.renderer import GaussianRenderer
+from ..bodymodel import load_flame, load_smplx, synthetic_ehm
+from ..bodymodel.ehm import BodyParams, EhmModel, FlameParams
+from ..ops.gsplat import RasterizeSettings
+from ..train.losses import LossConfig
+from ..train.lpips import LPIPS
+from ..train.pipeline import PipelineStatics
+from ..utils.config import ConfigDict, load_config
+
+
+@dataclass
+class Runtime:
+    cfg: ConfigDict
+    smplx: Any
+    flame: Any
+    extras: Any
+    ehm: EhmModel
+    statics: PipelineStatics
+    num_vertices: int
+
+    @property
+    def inferer(self) -> UbodyGaussianInferer:
+        return self.statics.inferer
+
+    @property
+    def renderer(self) -> GaussianRenderer:
+        return self.statics.renderer
+
+
+def resolve_config(config_name: str) -> ConfigDict:
+    """Accept a config name (configs/train/<name>.yaml), a yaml path, or a
+    model dir containing config.yaml (ref: main/test.py:230-241)."""
+    candidates = [
+        config_name,
+        os.path.join("configs", "train", f"{config_name}.yaml"),
+        os.path.join(config_name, "config.yaml"),
+    ]
+    for c in candidates:
+        if os.path.isfile(c):
+            return load_config(c)
+    raise FileNotFoundError(f"no config found for {config_name!r}; tried {candidates}")
+
+
+def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
+    m = cfg.MODEL
+    if synthetic_assets or not os.path.exists(
+        os.path.join(m.smplx_assets_dir, "SMPLX_NEUTRAL_2020.npz")
+    ):
+        if not synthetic_assets:
+            print(
+                "[context] SMPL-X model files not found — falling back to "
+                "synthetic assets (geometry is procedural; download the real "
+                "models per the README for production runs)"
+            )
+        smplx, flame, extras = synthetic_ehm(
+            body_side=64, head_side=12, uv_size=m.uvmap_size,
+            n_shape=50, n_exp=20, add_teeth=bool(m.get("add_teeth", True)),
+        )
+    else:
+        smplx, extras = load_smplx(
+            m.smplx_assets_dir,
+            n_shape=300,
+            n_exp=50,
+            add_teeth=bool(m.get("add_teeth", True)),
+            uv_size=m.uvmap_size,
+            flame_assets_dir=m.flame_assets_dir,
+        )
+        flame = load_flame(m.flame_assets_dir, n_shape=300, n_exp=50)
+
+    ehm = EhmModel.build(smplx, flame, extras)
+
+    icfg = InfererConfig(
+        image_size=m.image_size,
+        uvmap_size=m.uvmap_size,
+        invtanfov=float(m.invtanfov),
+        dino_out_dim=m.dino_out_dim,
+        uv_out_dim=m.uv_out_dim,
+        smplx_fea_dim=m.smplx_fea_dim,
+        prj_out_dim=m.prj_out_dim,
+        global_vertex_dim=m.global_vertex_dim,
+        color_dim=m.color_dim,
+    )
+    raster_cfg = m.get("raster", None)
+    settings = RasterizeSettings(
+        tile=raster_cfg.get("tile", 16) if raster_cfg else 16,
+        chunk=raster_cfg.get("chunk", 32) if raster_cfg else 32,
+        max_tiles_per_gaussian=raster_cfg.get("max_tiles_per_gaussian", 8)
+        if raster_cfg
+        else 8,
+    )
+    inferer = UbodyGaussianInferer(cfg=icfg, num_vertices=smplx.num_vertices)
+    ru = m.get("refiner_type", "styleunet")
+    rcfg = m.get(ru, None)
+    renderer = GaussianRenderer(
+        refiner_type=ru,
+        image_size=m.image_size,
+        channel_scale=float(rcfg.get("channel_scale", 1)) if rcfg else 1.0,
+        small=bool(rcfg.get("small", True)) if rcfg else True,
+        settings=settings,
+    )
+
+    opt = cfg.OPTIMIZE
+    loss_cfg = LossConfig(
+        lambda_l1=float(opt.lambda_l1),
+        lambda_perpetual=float(opt.lambda_perpetual),
+        lambda_perpetual_high=float(opt.lambda_perpetual_high),
+        perpetual_increase_iter=int(opt.perpetual_increase_iter),
+        lambda_head_crop=float(opt.lambda_head_crop),
+        lambda_hand_crop=float(opt.lambda_hand_crop),
+        lambda_local_xyz=float(opt.lambda_local_xyz),
+        lambda_local_scale=float(opt.lambda_local_scale),
+        threshold_local_xyz=float(opt.threshold_local_xyz),
+        threshold_scale=float(opt.threshold_scale),
+    )
+
+    statics = PipelineStatics(
+        ehm=ehm,
+        faces=jnp.asarray(smplx.faces),
+        uvmap_f_idx=jnp.asarray(extras.uvmap_f_idx),
+        uvmap_f_bary=jnp.asarray(extras.uvmap_f_bary),
+        uvmap_mask=jnp.asarray(extras.uvmap_mask),
+        inferer=inferer,
+        renderer=renderer,
+        lpips=LPIPS(net_type="alex"),
+        loss_cfg=loss_cfg,
+        image_size=m.image_size,
+        invtanfov=float(m.invtanfov),
+    )
+    return Runtime(
+        cfg=cfg, smplx=smplx, flame=flame, extras=extras, ehm=ehm,
+        statics=statics, num_vertices=smplx.num_vertices,
+    )
+
+
+def init_params(rt: Runtime, seed: int = 0, feature_img_size: int | None = None) -> dict:
+    """Initialize inferer + renderer + lpips parameters."""
+    m = rt.cfg.MODEL
+    B = 1
+    fsize = feature_img_size or m.feature_img_size
+    key = jax.random.PRNGKey(seed)
+    img = jnp.zeros((B, fsize, fsize, 3))
+    w2c = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    U = m.uvmap_size
+    inf = rt.inferer.init(
+        key, img, w2c,
+        jnp.zeros((B, rt.num_vertices, 3)),
+        jnp.zeros((B, U, U)),
+        rt.statics.uvmap_f_idx,
+        rt.statics.uvmap_f_bary,
+        rt.statics.faces,
+    )["params"]
+
+    from ..avatar.state import GaussianSet
+    from ..core.cameras import Camera
+
+    tanfov = 1.0 / float(m.invtanfov)
+    gs = GaussianSet(
+        xyz=jnp.zeros((B, 16, 3)),
+        rotation=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 16, 1)),
+        scaling=jnp.full((B, 16, 3), 0.01),
+        opacity=jnp.full((B, 16, 1), 0.5),
+        colors=jnp.zeros((B, 16, 32)),
+    )
+    cam = Camera(
+        R=jnp.eye(3), t=jnp.asarray([0.0, 0.0, 10.0]),
+        tanfovx=jnp.asarray(tanfov), tanfovy=jnp.asarray(tanfov),
+        width=m.image_size, height=m.image_size,
+    )
+    rend = rt.renderer.init(key, gs, [cam])["params"]
+    x0 = jnp.zeros((1, m.image_size, m.image_size, 3))
+    lp = rt.statics.lpips.init(key, x0, x0)["params"]
+    return {"model": {"inferer": inf, "renderer": rend}, "lpips": lp}
+
+
+def camera_from_w2c(rt: Runtime, w2c: np.ndarray):
+    from ..core.cameras import Camera
+
+    tanfov = 1.0 / float(rt.cfg.MODEL.invtanfov)
+    return Camera(
+        R=jnp.asarray(w2c[:3, :3]),
+        t=jnp.asarray(w2c[:3, 3]),
+        tanfovx=jnp.asarray(tanfov, jnp.float32),
+        tanfovy=jnp.asarray(tanfov, jnp.float32),
+        width=rt.cfg.MODEL.image_size,
+        height=rt.cfg.MODEL.image_size,
+    )
+
+
+def batch_params_to_body_flame(params: dict) -> tuple[BodyParams, FlameParams]:
+    from ..train.pipeline import _unpack_params
+
+    return _unpack_params(params)
