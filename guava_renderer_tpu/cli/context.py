@@ -70,8 +70,12 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
                 "models per the README for production runs)"
             )
         smplx, flame, extras = synthetic_ehm(
-            body_side=64, head_side=12, uv_size=m.uvmap_size,
-            n_shape=50, n_exp=20, add_teeth=bool(m.get("add_teeth", True)),
+            body_side=int(m.get("synthetic_body_side", 64)),
+            head_side=int(m.get("synthetic_head_side", 12)),
+            uv_size=m.uvmap_size,
+            n_shape=int(m.get("synthetic_n_shape", 50)),
+            n_exp=int(m.get("synthetic_n_exp", 20)),
+            add_teeth=bool(m.get("add_teeth", True)),
         )
     else:
         smplx, extras = load_smplx(
@@ -86,6 +90,8 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
 
     ehm = EhmModel.build(smplx, flame, extras)
 
+    ru0 = m.get("refiner_type", "styleunet")
+    rcfg0 = m.get(ru0, None)
     icfg = InfererConfig(
         image_size=m.image_size,
         uvmap_size=m.uvmap_size,
@@ -96,6 +102,10 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         prj_out_dim=m.prj_out_dim,
         global_vertex_dim=m.global_vertex_dim,
         color_dim=m.color_dim,
+        uv_base_dim=int(m.get("uv_base_dim", 32)),
+        style_dim=int(rcfg0.get("num_style_feat", 512)) if rcfg0 else 512,
+        num_mlp=int(rcfg0.get("num_mlp", 8)) if rcfg0 else 8,
+        channel_scale=float(rcfg0.get("channel_scale", 1)) if rcfg0 else 1.0,
     )
     raster_cfg = m.get("raster", None)
     settings = RasterizeSettings(
@@ -128,6 +138,7 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         lambda_local_scale=float(opt.lambda_local_scale),
         threshold_local_xyz=float(opt.threshold_local_xyz),
         threshold_scale=float(opt.threshold_scale),
+        crop_size=int(opt.get("crop_size", 256)),
     )
 
     statics = PipelineStatics(

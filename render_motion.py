@@ -1,0 +1,104 @@
+"""Render a saved avatar with external motion — CLI parity with the
+reference render_motion.py (ref: render_motion.py:85-456): saved avatar +
+refiner checkpoint, SMPL-X npz (EMAGE) and/or FLAME (ARTalk) motion, optional
+fps resampling, static look-at camera, per-frame deform+render to MP4 with
+optional audio mux (requires ffmpeg on PATH).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def render_motion(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from guava_renderer_tpu.avatar.state import GaussianAvatar
+    from guava_renderer_tpu.cli.context import build_runtime, init_params, resolve_config
+    from guava_renderer_tpu.cli.inference import _write_video, render_frame
+    from guava_renderer_tpu.motion import (
+        load_flame_motion,
+        load_smplx_motion,
+        motion_frame_params,
+        resample_motion,
+    )
+    from guava_renderer_tpu.train.checkpoints import load_pytree
+    from guava_renderer_tpu.utils.camera_orbit import look_at_w2c
+
+    cfg = resolve_config(args.model_path)
+    rt = build_runtime(cfg, synthetic_assets=args.synthetic_assets)
+    params = init_params(rt)["model"]
+
+    template = {k: None for k in GaussianAvatar._fields}
+    avatar_dict = load_pytree(args.avatar_path, None)
+    avatar = GaussianAvatar(**{k: jnp.asarray(v) for k, v in avatar_dict.items()})
+
+    smplx_motion = load_smplx_motion(args.smplx_motion) if args.smplx_motion else None
+    flame_motion = load_flame_motion(args.flame_motion) if args.flame_motion else None
+    assert smplx_motion is not None, "--smplx_motion is required"
+    src_fps = smplx_motion.get("fps", args.src_fps)
+    if src_fps != args.fps:
+        smplx_motion = resample_motion(smplx_motion, src_fps, args.fps)
+
+    w2c = look_at_w2c(
+        np.pi / 2, np.pi / 2 - 0.05, np.asarray([0.0, 0.75, 0.0]), radius=args.cam_radius
+    )
+
+    n = smplx_motion["body_pose"].shape[0]
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    frames = []
+    n_shape = rt.smplx.n_shape
+    n_exp = rt.smplx.n_exp
+    for t in range(n):
+        p = motion_frame_params(
+            smplx_motion, flame_motion, t,
+            n_shape=n_shape, n_exp=n_exp,
+            hand_pose_scale=args.hand_pose_scale,
+        )
+        out = render_frame(rt, params, avatar, {"params": p, "w2c": w2c})
+        frames.append(out["render"])
+    out_path = args.output or "motion_render.mp4"
+    _write_video(out_path, frames, fps=int(args.fps))
+    print(f"wrote {len(frames)} frames to {out_path}")
+
+    if args.audio and os.path.exists(args.audio):
+        muxed = os.path.splitext(out_path)[0] + "_audio.mp4"
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-i", out_path, "-i", args.audio,
+                 "-c:v", "copy", "-c:a", "aac", "-shortest", muxed],
+                check=True, capture_output=True,
+            )
+            print(f"audio muxed -> {muxed}")
+        except (FileNotFoundError, subprocess.CalledProcessError) as e:
+            print(f"audio mux skipped ({e})")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--avatar_path", "-a", type=str, required=True)
+    parser.add_argument("--model_path", "-m", type=str, default="assets/GUAVA")
+    parser.add_argument("--smplx_motion", type=str, default=None,
+                        help="EMAGE-style npz with poses (T,165)")
+    parser.add_argument("--flame_motion", type=str, default=None,
+                        help="ARTalk-style FLAME exp/jaw track")
+    parser.add_argument("--audio", type=str, default=None)
+    parser.add_argument("--output", "-o", type=str, default=None)
+    parser.add_argument("--fps", type=float, default=30.0)
+    parser.add_argument("--src_fps", type=float, default=30.0)
+    parser.add_argument("--cam_radius", type=float, default=5.0)
+    parser.add_argument("--hand_pose_scale", type=float, default=1.0)
+    parser.add_argument("--image_size", type=int, default=512,
+                        choices=[512, 720, 1080, 2048])
+    parser.add_argument("--no_refiner", action="store_true",
+                        help="kept for CLI parity (the reference flag is a no-op, "
+                             "render_motion.py:116-118)")
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--synthetic_assets", action="store_true")
+    args = parser.parse_args()
+    render_motion(args)

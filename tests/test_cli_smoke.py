@@ -1,0 +1,80 @@
+"""CLI smoke tests: tiny synthetic end-to-end train + test runs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=2",
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    from guava_renderer_tpu.data.synthetic import write_synthetic_dataset
+
+    d = str(tmp_path_factory.mktemp("tiny_ds"))
+    write_synthetic_dataset(d, n_videos=1, n_frames=5, image_size=96, n_shape=20, n_exp=10)
+    return d
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tiny_dataset, tmp_path_factory):
+    import yaml
+
+    with open(os.path.join(REPO, "configs/train/tiny_synthetic.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["DATASET"]["data_path"] = tiny_dataset
+    out = tmp_path_factory.mktemp("cfg") / "tiny.yaml"
+    with open(out, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return str(out)
+
+
+@pytest.mark.slow
+def test_train_cli_runs(tiny_cfg, tmp_path):
+    r = subprocess.run(
+        [
+            sys.executable, "main/train.py",
+            "-c", tiny_cfg, "--synthetic_assets", "--max_iters", "2", "-d", "2",
+        ],
+        cwd=REPO,
+        env=dict(ENV, GUAVA_OUTPUT_DIR=str(tmp_path)),
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "iter" in r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_test_cli_self_reenactment(tiny_cfg, tiny_dataset, tmp_path):
+    save = str(tmp_path / "results")
+    r = subprocess.run(
+        [
+            sys.executable, "main/test.py",
+            "-c", tiny_cfg, "--data_path", tiny_dataset,
+            "-s", save, "--synthetic_assets", "--max_frames", "2",
+        ],
+        cwd=REPO,
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    scenes = os.listdir(save)
+    assert scenes
+    scene = os.path.join(save, scenes[0])
+    assert os.path.isdir(os.path.join(scene, "render"))
+    assert os.path.isdir(os.path.join(scene, "gt"))
+    info = json.load(open(os.path.join(scene, "speed_info.json")))
+    assert info["infer_time"] > 0 and info["render_speed"] > 0
+    assert os.path.exists(os.path.join(scene, "avatar.ply"))
