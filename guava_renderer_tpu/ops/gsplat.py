@@ -172,8 +172,13 @@ def _pixel_coords(tile: int):
     return px, py
 
 
-def _chunk_alphas(geom, px, py, j_valid):
-    """geom (G, 48-slice), px/py (1, PIX) -> (alpha_masked, d0, d1, gexp), all (G, PIX)."""
+def _chunk_alphas(geom, px, py, mask2d):
+    """geom (G, _PK-slice), px/py (1, PIX), mask2d broadcastable to (G, PIX).
+
+    Returns (alpha_masked, d0, d1, gexp), all (G, PIX). The power<=0 and
+    alpha floor tests are fused into one select: power <= 0 <=> gexp <= 1,
+    and a*gexp >= 1/255 bounds the contribution (ref: forward.cu:355-365).
+    """
     xy0 = geom[:, 0:1]
     xy1 = geom[:, 1:2]
     ca = geom[:, 2:3]
@@ -184,9 +189,9 @@ def _chunk_alphas(geom, px, py, j_valid):
     d1 = xy1 - py
     power = -0.5 * (ca * d0 * d0 + cc * d1 * d1) - cb * d0 * d1
     gexp = jnp.exp(power)
-    alpha = jnp.minimum(ALPHA_MAX, a_op * gexp)
-    contrib = (power <= 0.0) & (alpha >= ALPHA_MIN) & j_valid
-    return jnp.where(contrib, alpha, 0.0), d0, d1, gexp
+    ag = a_op * gexp
+    contrib = (gexp <= 1.0) & (ag >= ALPHA_MIN) & mask2d
+    return jnp.where(contrib, jnp.minimum(ag, ALPHA_MAX), 0.0), d0, d1, gexp
 
 
 def _fwd_kernel(
@@ -246,16 +251,17 @@ def _fwd_kernel(
         colors = data[:, _GEOM:_GEOM + _CCH]      # (G, CCH)
 
         T = state_ref[0:1, :]
-        dead = state_ref[1:2, :] > 0.5
+        alive = state_ref[1:2, :] < 0.5
 
-        j = jax.lax.broadcasted_iota(jnp.int32, (G, PIX), 0)
-        j_valid = (j + c * G) < num
-        at, _, _, _ = _chunk_alphas(geom, px, py, j_valid)
-        at = jnp.where(dead, 0.0, at)
+        j = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        mask2d = ((j + c * G) < num) & alive
+        at, _, _, _ = _chunk_alphas(geom, px, py, mask2d)
 
         P_incl = T * _cumprod_sublanes(1.0 - at, G)   # (G, PIX)
         live = P_incl >= T_MIN
-        E = P_incl / (1.0 - at)                        # exclusive prefix
+        # exclusive prefix = inclusive shifted down one row (row0 <- T)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == 0
+        E = jnp.where(row0, T, pltpu.roll(P_incl, 1, axis=0))
         w = jnp.where(live, at * E, 0.0)
 
         # (CCH, PIX) += colors^T @ w  — MXU
@@ -352,17 +358,17 @@ def _bwd_kernel(
         colors = data[:, _GEOM:_GEOM + _CCH]
 
         T = state_ref[0:1, :]
-        dead = state_ref[1:2, :] > 0.5
+        alive = state_ref[1:2, :] < 0.5
         gp = state_ref[2:3, :]
 
-        j = jax.lax.broadcasted_iota(jnp.int32, (G, PIX), 0)
-        j_valid = (j + c * G) < num
-        at, d0, d1, gexp = _chunk_alphas(geom, px, py, j_valid)
-        at = jnp.where(dead, 0.0, at)
+        j = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        mask2d = ((j + c * G) < num) & alive
+        at, d0, d1, gexp = _chunk_alphas(geom, px, py, mask2d)
 
         P_incl = T * _cumprod_sublanes(1.0 - at, G)
         live = P_incl >= T_MIN
-        E = P_incl / (1.0 - at)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == 0
+        E = jnp.where(row0, T, pltpu.roll(P_incl, 1, axis=0))
         w = jnp.where(live, at * E, 0.0)
         used = live & (at > 0.0)
 

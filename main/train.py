@@ -34,7 +34,9 @@ def train(config_name: str, basemodel: str | None, devices: str, debug: bool,
     train_ds = build_dataset(cfg, "train")
     valid_ds = build_dataset(cfg, "valid")
 
-    run_dir = os.path.join("outputs", cfg.TRAIN.exp_str)
+    run_dir = os.path.join(
+        os.environ.get("GUAVA_OUTPUT_DIR", "outputs"), cfg.TRAIN.exp_str
+    )
     run_training(
         rt, train_ds, valid_ds, run_dir,
         basemodel=basemodel, debug=debug, max_iters=max_iters,
