@@ -11,7 +11,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(
     os.environ,
     JAX_PLATFORMS="cpu",
-    XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    XLA_FLAGS="--xla_force_host_platform_device_count=1",
 )
 
 
@@ -42,13 +42,13 @@ def test_train_cli_runs(tiny_cfg, tmp_path):
     r = subprocess.run(
         [
             sys.executable, "main/train.py",
-            "-c", tiny_cfg, "--synthetic_assets", "--max_iters", "2", "-d", "2",
+            "-c", tiny_cfg, "--synthetic_assets", "--max_iters", "2", "-d", "1",
         ],
         cwd=REPO,
         env=dict(ENV, GUAVA_OUTPUT_DIR=str(tmp_path)),
         capture_output=True,
         text=True,
-        timeout=1500,
+        timeout=2400,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "iter" in r.stdout + r.stderr
@@ -67,7 +67,7 @@ def test_test_cli_self_reenactment(tiny_cfg, tiny_dataset, tmp_path):
         env=ENV,
         capture_output=True,
         text=True,
-        timeout=1500,
+        timeout=2400,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     scenes = os.listdir(save)
