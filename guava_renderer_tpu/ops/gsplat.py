@@ -581,11 +581,17 @@ def rasterize(
         means3d, scales, quats, opacities, cam,
         settings.scale_modifier, settings.antialiasing,
     )
+    # parity-exact cull: alpha < 1/255 can never pass the blend's floor test
+    # (exp(power) <= 1 inside the rect), so such Gaussians skip binning
+    # entirely — masked/zero-opacity splats cost nothing.
+    contributing = proj.valid & (
+        jax.lax.stop_gradient(proj.alpha) >= ALPHA_MIN
+    )
     ranges, order, _ = bin_gaussians(
         jax.lax.stop_gradient(proj.mean2d),
         jax.lax.stop_gradient(proj.depth),
         proj.radius,
-        proj.valid,
+        contributing,
         W, H, settings,
     )
 
