@@ -122,3 +122,27 @@ def test_random_mesh_against_numpy_oracle(rng):
 
     agree = (np.asarray(res.face_idx) == best).mean()
     assert agree > 0.995, f"face-id agreement {agree}"
+
+
+def test_textured_mesh_preview():
+    from guava_renderer_tpu.ops.mesh_preview import (
+        render_mesh_attributes,
+        render_textured_mesh,
+    )
+
+    cam = make_cam(32)
+    verts = jnp.asarray(
+        [[-0.8, -0.8, 2.0], [0.8, -0.8, 2.0], [0.0, 0.9, 2.0]], jnp.float32
+    )
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    texcoords = jnp.asarray([[0.1, 0.1], [0.9, 0.1], [0.5, 0.9]], jnp.float32)
+    texture = jnp.ones((16, 16, 3)) * 0.5
+    rgb, alpha = render_textured_mesh(verts, faces, faces, texcoords, texture, cam)
+    assert rgb.shape == (32, 32, 3)
+    np.testing.assert_allclose(float(rgb[16, 16, 0]), 0.5, atol=1e-3)
+    assert float(alpha[0, 0, 0]) == 0.0
+
+    attrs, alpha2 = render_mesh_attributes(verts, faces, verts, cam)
+    # interpolated positions reproject onto the pixel (checked in bary test);
+    # here just verify coverage agreement
+    np.testing.assert_array_equal(np.asarray(alpha)[..., 0] > 0, np.asarray(alpha2)[..., 0] > 0)
