@@ -91,7 +91,7 @@ def main():
         height=SIZE,
     )
     bg = jnp.zeros(32)
-    settings = RasterizeSettings(chunk=32, max_tiles_per_gaussian=8)
+    settings = RasterizeSettings(tile=32, chunk=64, max_tiles_per_gaussian=4)
 
     refiner = NeuralRefiner(image_size=SIZE, small=True)
     feat0 = jnp.zeros((1, SIZE, SIZE, 32))
@@ -145,4 +145,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import traceback
+
+    try:
+        main()
+    except Exception:
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "self-reenactment render FPS @512px (run failed)",
+                    "value": 0.0,
+                    "unit": "fps",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
