@@ -60,6 +60,9 @@ def render_motion(args):
             n_shape=n_shape, n_exp=n_exp,
             hand_pose_scale=args.hand_pose_scale,
         )
+        # motion_frame_params returns batched (1, ...) arrays; render_frame
+        # batches records itself
+        p = {k: np.asarray(v)[0] for k, v in p.items()}
         out = render_frame(rt, params, avatar, {"params": p, "w2c": w2c})
         frames.append(out["render"])
     out_path = args.output or "motion_render.mp4"
