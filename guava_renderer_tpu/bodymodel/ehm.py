@@ -264,3 +264,43 @@ def head_hand_subsets(model: EhmModel, result: EhmResult) -> dict[str, jnp.ndarr
         "right_hand_vertices": result.vertices[:, model.right_hand_ind],
         "right_hand_ref_joint": result.joints_rest[:, J_RWRIST : J_RWRIST + 1],
     }
+
+
+def ehm_transform_mats(
+    model: EhmModel,
+    body: BodyParams,
+    jaw: jnp.ndarray | None = None,
+    eyes: jnp.ndarray | None = None,
+    mirror_left_hand: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-joint transforms for external motion retargeting.
+
+    Parity with EHM.get_transform_mat (ref: EHM.py:158-209): assemble the
+    55-joint pose from body + hand + flame jaw/eye channels and return
+    (joint_transforms (B, 55, 4, 4), joints_posed (B, 55, 3)).
+    `mirror_left_hand` reproduces the reference's left-hand axis-angle
+    mirror fix (EHM.py:176-180) for motion sources with mirrored left hands.
+    """
+    B = body.shape.shape[0]
+    lhand = body.left_hand_pose
+    if lhand is not None and mirror_left_hand and lhand.ndim == 3:
+        lhand = lhand * jnp.asarray([1.0, -1.0, -1.0])
+    glob = _maybe_pose(body.global_pose, B, 1)
+    body_p = _as_rotmats(body.body_pose)
+    jaw_m = _as_rotmats(jaw.reshape(B, 1, 3)) if jaw is not None else _maybe_pose(None, B, 1)
+    eyes_m = _as_rotmats(eyes.reshape(B, 2, 3)) if eyes is not None else _maybe_pose(None, B, 2)
+    lhand_m = _maybe_pose(lhand, B, 15)
+    rhand_m = _maybe_pose(body.right_hand_pose, B, 15)
+    full_pose = jnp.concatenate([glob, body_p, jaw_m, eyes_m, lhand_m, rhand_m], axis=1)
+
+    smplx = model.smplx
+    exp = body.exp if body.exp is not None else jnp.zeros((B, model.n_exp))
+    shape_components = jnp.concatenate([_pad_shape(body.shape, model.n_shape), exp], -1)
+    template = smplx["v_template"][None] + lbs_core.blend_shapes(
+        shape_components, smplx["shapedirs"]
+    )
+    joints = lbs_core.vertices2joints(smplx["J_regressor"], template)
+    if body.joints_offset is not None:
+        joints = joints + body.joints_offset
+    posed, rel = lbs_core.rigid_transform_chain(full_pose, joints, model.smplx_parents)
+    return rel, posed

@@ -151,3 +151,30 @@ def pretty_config(cfg: ConfigDict, indent: int = 0) -> str:
         else:
             buf.write(f"{pad}{k}: {v}\n")
     return buf.getvalue()
+
+
+def to8b(x):
+    """float [0,1] image -> uint8 (ref: utils/general_utils.py:316)."""
+    import numpy as np
+
+    return (np.clip(np.asarray(x), 0, 1) * 255).astype(np.uint8)
+
+
+def inverse_sigmoid(x):
+    """logit (ref: utils/general_utils.py:318-320)."""
+    import numpy as np
+
+    x = np.clip(np.asarray(x), 1e-7, 1 - 1e-7)
+    return np.log(x / (1 - x))
+
+
+def calc_parameters(params) -> int:
+    """Total parameter count of a PyTree (ref: general_utils.py:284-292)."""
+    import jax
+    import numpy as np
+
+    return sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(params)
+        if hasattr(x, "shape")
+    )

@@ -98,3 +98,51 @@ def test_motion_resample_and_params(rng):
     assert p["body_pose"].shape == (1, 21, 3)
     assert p["shape"].shape == (1, 10)
     np.testing.assert_allclose(p["shape"], 1.0)
+
+
+def test_flame_mask_regions():
+    from guava_renderer_tpu.bodymodel.flame_mask import FlameMask
+
+    faces = np.asarray([[1713, 1715, 0], [5, 6, 7], [1713, 1576, 1715]])
+    fm = FlameMask(faces=faces)
+    up = fm.get_vid_by_region(["lip_outside_ring_upper"], keep_order=True)
+    assert up.shape == (15,) and up[0] == 1713
+    both = fm.get_vid_by_region(
+        ["lip_outside_ring_upper", "lip_outside_ring_lower"], keep_order=False
+    )
+    assert both.shape == (30,)
+    fids = fm.get_fid_by_region(["lip_outside_ring_upper"], all_vertices=False)
+    assert set(fids.tolist()) == {0, 2}
+    fids_all = fm.get_fid_by_region(
+        ["lip_outside_ring_upper", "lip_outside_ring_lower"], all_vertices=True
+    )
+    assert set(fids_all.tolist()) == {2}
+
+
+def test_ehm_transform_mats():
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.bodymodel.ehm import BodyParams, EhmModel, ehm_transform_mats
+
+    smplx, flame, extras = synthetic_ehm(uv_size=16, add_teeth=False)
+    model = EhmModel.build(smplx, flame, extras)
+    B = 1
+    body = BodyParams(
+        shape=jnp.zeros((B, smplx.n_shape)),
+        body_pose=jnp.zeros((B, 21, 3)),
+        left_hand_pose=jnp.asarray(np.random.default_rng(0).normal(size=(B, 15, 3)) * 0.1, jnp.float32),
+    )
+    rel, posed = ehm_transform_mats(model, body)
+    assert rel.shape == (B, 55, 3, 3 + 1) or rel.shape == (B, 55, 4, 4)
+    assert posed.shape == (B, 55, 3)
+    # identity pose -> identity rotations in the transforms
+    body0 = body._replace(left_hand_pose=None)
+    rel0, _ = ehm_transform_mats(model, body0)
+    np.testing.assert_allclose(
+        np.asarray(rel0)[:, :, :3, :3],
+        np.broadcast_to(np.eye(3), (B, 55, 3, 3)),
+        atol=1e-5,
+    )
+    # mirrored left hand differs
+    rel_m, _ = ehm_transform_mats(model, body, mirror_left_hand=True)
+    assert float(jnp.abs(rel_m - rel).max()) > 1e-4
