@@ -195,3 +195,41 @@ def test_look_at_camera_projection():
     px, z = project_points(cam, jnp.asarray([[0.0, 0.0, 0.0]]))
     np.testing.assert_allclose(z[0], 3.0, atol=1e-5)
     np.testing.assert_allclose(px[0], [15.5, 15.5], atol=1e-4)
+
+
+def test_instance_budget_truncation(scene):
+    """A tight instance budget must still render the nearest Gaussians
+    (overflow drops the farthest within each tile ordering)."""
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+    full, _, _ = rasterize(
+        means, colors, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=8, max_tiles_per_gaussian=8),
+    )
+    tight, _, _ = rasterize(
+        means, colors, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=8, max_tiles_per_gaussian=8, instance_budget=64),
+    )
+    assert np.isfinite(np.asarray(tight)).all()
+    # budget large enough to hold everything reproduces the full render
+    huge, _, _ = rasterize(
+        means, colors, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=8, max_tiles_per_gaussian=8,
+                          instance_budget=64 * 8 * 8 * 100),
+    )
+    np.testing.assert_allclose(huge, full, atol=1e-6)
+
+
+def test_zero_opacity_gaussians_are_free_and_invisible():
+    """alpha < 1/255 is culled before binning with zero image effect."""
+    cam = make_cam(32)
+    bg = jnp.linspace(0, 1, C)
+    rng2 = np.random.default_rng(5)
+    means, colors, opac, scales, quats = make_scene(rng2, P=32)
+    opac0 = opac.at[16:].set(0.0)  # half the splats invisible
+    with_zero, _, _ = rasterize(means, colors, opac0, scales, quats, cam, bg)
+    only_active, _, _ = rasterize(
+        means[:16], colors[:16], opac0[:16], scales[:16], quats[:16], cam, bg
+    )
+    np.testing.assert_allclose(with_zero, only_active, atol=1e-6)
