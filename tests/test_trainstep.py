@@ -116,3 +116,38 @@ def test_lr_schedule_decays():
         prev = cur
     # step size shrinks roughly by half over the schedule
     assert deltas[-1] < deltas[0] * 0.8
+
+
+def test_row_sharded_render_matches_single_device():
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.core.cameras import Camera
+    from guava_renderer_tpu.ops.gsplat import RasterizeSettings, rasterize
+    from guava_renderer_tpu.parallel.sharded_render import rasterize_row_sharded
+
+    rng = np.random.default_rng(9)
+    P_ = 48
+    means = np.zeros((P_, 3), np.float32)
+    means[:, 0] = rng.uniform(-0.5, 0.5, P_)
+    means[:, 1] = rng.uniform(-0.5, 0.5, P_)
+    means[:, 2] = rng.uniform(2.5, 3.5, P_)
+    colors = jnp.asarray(rng.uniform(0, 1, (P_, 32)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, (P_, 1)), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.02, 0.08, (P_, 3)), jnp.float32)
+    quats = rng.normal(size=(P_, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    quats = jnp.asarray(quats)
+    means = jnp.asarray(means)
+    cam = Camera(R=jnp.eye(3), t=jnp.zeros(3), tanfovx=jnp.asarray(0.5),
+                 tanfovy=jnp.asarray(0.5), width=64, height=64)
+    bg = jnp.linspace(0, 1, 32)
+    st = RasterizeSettings(chunk=8, max_tiles_per_gaussian=8)
+
+    ref, radii_ref, invd_ref = rasterize(means, colors, opac, scales, quats, cam, bg, st)
+    mesh = data_parallel_mesh(4)  # 4 bands of 16 rows
+    out, radii, invd = rasterize_row_sharded(
+        means, colors, opac, scales, quats, cam, bg, mesh, st
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(invd), np.asarray(invd_ref), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(radii), np.asarray(radii_ref))
