@@ -45,6 +45,11 @@ class InfererConfig(NamedTuple):
     style_dim: int = 512
     num_mlp: int = 8
     channel_scale: float = 1.0
+    # Backbone sizing (ViT-B/14 + DPT defaults; shrink for dry-run configs).
+    vit_dim: int = 768
+    vit_depth: int = 12
+    vit_heads: int = 12
+    pyramid_dims: tuple = (256, 512, 1024, 1024)
 
 
 class UbodyGaussianInferer(nn.Module):
@@ -72,6 +77,10 @@ class UbodyGaussianInferer(nn.Module):
             out_dim_2=cfg.prj_out_dim,
             hidden=cfg.prj_out_dim // 2,
             output_size=cfg.image_size,
+            vit_dim=cfg.vit_dim,
+            vit_depth=cfg.vit_depth,
+            vit_heads=cfg.vit_heads,
+            pyramid_dims=cfg.pyramid_dims,
             dtype=self.dtype,
             name="dino_encoder",
         )

@@ -57,7 +57,7 @@ class FeatureFusionBlock(nn.Module):
         out = ResidualConvUnit(self.features, name="res2")(out)
         if size is None:
             size = (out.shape[1] * 2, out.shape[2] * 2)
-        out = resize_bilinear(out, size)
+        out = resize_bilinear(out, size, antialias=False)
         return nn.Conv(self.features, (1, 1))(out)
 
 
@@ -67,6 +67,14 @@ class DinoDPTEncoder(nn.Module):
     hidden: int = 256
     output_size: int = 512
     freeze_backbone: bool = True
+    # Backbone sizing (ViT-B/14 defaults = DINOv2 weight-compatible). The
+    # micro settings exist so dry-run/CI configs can cross the same module
+    # boundary at a fraction of the compile/execute cost.
+    vit_dim: int = 768
+    vit_depth: int = 12
+    vit_heads: int = 12
+    vit_pos_grid: int = 37
+    pyramid_dims: tuple = (256, 512, 1024, 1024)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -81,7 +89,15 @@ class DinoDPTEncoder(nn.Module):
         std = jnp.asarray(IMAGENET_STD, images.dtype)
         x = (images - mean) / std
 
-        vit = VisionTransformer(num_intermediate=5, dtype=self.dtype, name="dino")
+        vit = VisionTransformer(
+            num_intermediate=5,
+            dim=self.vit_dim,
+            depth=self.vit_depth,
+            num_heads=self.vit_heads,
+            pos_grid=self.vit_pos_grid,
+            dtype=self.dtype,
+            name="dino",
+        )
         tokens = vit(x)
         if self.freeze_backbone:
             tokens = [jax.lax.stop_gradient(t) for t in tokens]
@@ -90,7 +106,7 @@ class DinoDPTEncoder(nn.Module):
         # reference global feature: first *patch* token of the last level
         f_global = levels[-1][:, 1]
 
-        out_dims = (256, 512, 1024, 1024)
+        out_dims = self.pyramid_dims
         feats = []
         for i, (tok, od) in enumerate(zip(levels, out_dims)):
             f = tok[:, 1:].reshape(B, gh, gw, -1)
@@ -118,15 +134,16 @@ class DinoDPTEncoder(nn.Module):
         path = FeatureFusionBlock(self.hidden, name="refine3")(path, feats[0])
 
         S = self.output_size
-        path = resize_bilinear(path, (S, S))
-        image_l = resize_bilinear(x, (S, S))
+        # F.interpolate sites in the reference: no antialiasing
+        path = resize_bilinear(path, (S, S), antialias=False)
+        image_l = resize_bilinear(x, (S, S), antialias=False)
 
         low = low_level[:, 1:].reshape(B, gh, gw, -1)
         low = resize_bilinear(low, (gh * 2, gw * 2), align_corners=True)
         low = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="project_l0")(low)
         low = resize_bilinear(low, (low.shape[1] * 4, low.shape[2] * 4), align_corners=True)
         low = nn.Conv(self.hidden // 2, (3, 3), padding=1, use_bias=False, name="project_l1")(low)
-        low = resize_bilinear(low, (S, S))
+        low = resize_bilinear(low, (S, S), antialias=False)
 
         path = jnp.concatenate([path, image_l], axis=-1)
         fused = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="fuse_l0")(

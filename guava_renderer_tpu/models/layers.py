@@ -11,19 +11,26 @@ def leaky_relu(x, slope=0.2):
     return jax.nn.leaky_relu(x, negative_slope=slope)
 
 
-def resize_bilinear(x: jnp.ndarray, size: tuple[int, int], align_corners: bool = False):
+def resize_bilinear(x: jnp.ndarray, size: tuple[int, int],
+                    align_corners: bool = False, antialias: bool = True):
     """NHWC bilinear resize.
 
     align_corners=False matches torch's F.interpolate default (half-pixel
     centers, what jax.image.resize implements). align_corners=True is
     implemented as two small interpolation matmuls (TPU-friendly).
+    antialias only matters when downscaling: torch F.interpolate defaults to
+    False (plain bilinear taps), torchvision's resize uses True (filtered);
+    jax.image.resize's default is True — callers matching an F.interpolate
+    site must pass antialias=False.
     """
     H, W = x.shape[1], x.shape[2]
     h, w = size
     if (H, W) == (h, w):
         return x
     if not align_corners:
-        return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
+        return jax.image.resize(
+            x, (x.shape[0], h, w, x.shape[3]), method="bilinear", antialias=antialias
+        )
     wy = _ac_weights(H, h, x.dtype)  # (h, H)
     wx = _ac_weights(W, w, x.dtype)  # (w, W)
     x = jnp.einsum("bhwc,oh->bowc", x, wy)
@@ -49,7 +56,11 @@ def upsample2x(x):
 
 
 def downsample2x(x):
-    return resize_bilinear(x, (x.shape[1] // 2, x.shape[2] // 2))
+    """Exact torch parity: F.interpolate(scale=0.5, bilinear, antialias=False)
+    at an exact 2x ratio samples at 2o+0.5 in each dim — a 2x2 mean pool.
+    (jax.image.resize would antialias with a wider kernel.)"""
+    B, H, W, C = x.shape
+    return x.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
 
 
 class ResBlock(nn.Module):

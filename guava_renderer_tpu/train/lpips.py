@@ -73,6 +73,14 @@ class LPIPS(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         """x, y: (B, H, W, 3) in [0, 1]. Returns mean LPIPS distance (scalar)."""
+        # AlexNet's stride-4 stem + pools collapse sub-32px inputs to empty
+        # feature maps (mean of empty = NaN). The reference never feeds tiny
+        # crops (cal_box_loss resizes to 256^2, ref loss_utils.py:140-159);
+        # for micro/CI configs we upsample to the 32px floor instead.
+        if x.shape[1] < 32 or x.shape[2] < 32:
+            shape = (x.shape[0], max(32, x.shape[1]), max(32, x.shape[2]), x.shape[3])
+            x = jax.image.resize(x, shape, "linear")
+            y = jax.image.resize(y, shape, "linear")
         shift = jnp.asarray(IMAGENET_SHIFT, x.dtype)
         scale = jnp.asarray(IMAGENET_SCALE, x.dtype)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..avatar.deformer import deform_avatar
@@ -123,8 +124,25 @@ def forward_pipeline(params: dict, batch: dict, statics: PipelineStatics, rngs=N
 
 
 def make_loss_fn(statics: PipelineStatics, lpips_params: Any):
-    def perceptual(a, b):
-        return statics.lpips.apply({"params": lpips_params}, a, b)
+    """Builds loss_fn(params, batch, iteration) -> (loss, metrics).
+
+    lpips_params=None swaps the LPIPS term for a cheap multi-scale L2
+    stand-in with the same call signature — used by the multi-chip dry run
+    where compiling AlexNet per device would dominate the wall clock.
+    """
+    if lpips_params is None:
+
+        def perceptual(a, b):
+            def down4(x):
+                shape = (x.shape[0], x.shape[1] // 4, x.shape[2] // 4, x.shape[3])
+                return jax.image.resize(x, shape, "linear")
+
+            return jnp.mean((a - b) ** 2) + jnp.mean((down4(a) - down4(b)) ** 2)
+
+    else:
+
+        def perceptual(a, b):
+            return statics.lpips.apply({"params": lpips_params}, a, b)
 
     opt_loss = OptimizationLoss(statics.loss_cfg, perceptual)
 
