@@ -21,7 +21,12 @@ from ..ops.ssim import psnr, ssim
 from ..parallel.mesh import data_parallel_mesh, replicate, shard_batch
 from ..train.checkpoints import CheckpointManager
 from ..train.pipeline import forward_pipeline, make_loss_fn
-from ..train.trainstep import TrainState, make_optimizer, make_parallel_train_step
+from ..train.trainstep import (
+    TrainState,
+    make_optimizer,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+)
 from ..utils.logging_utils import MovingAverageMeter, SpeedMeter, build_logger
 from .context import Runtime, init_params
 
@@ -56,6 +61,7 @@ def run_training(
     debug: bool = False,
     max_iters: int | None = None,
     n_devices: int | None = None,
+    profile_dir: str | None = None,
 ):
     cfg = rt.cfg
     logger = build_logger("train", run_dir)
@@ -89,6 +95,10 @@ def run_training(
 
     loss_fn = make_loss_fn(rt.statics, lpips_params)
     pstep = make_parallel_train_step(loss_fn, optimizer, mesh)
+    estep = make_parallel_eval_step(_eval_metrics_fn(rt.statics), mesh)
+    vis_fwd = jax.jit(
+        lambda params, batch: forward_pipeline(params, batch, rt.statics)[0]
+    )
 
     loader = PrefetchLoader(train_ds, batch_size, shuffle=True)
     train_iter = endless(loader)
@@ -100,18 +110,25 @@ def run_training(
     visual_interval = int(cfg.TRAIN.get("visual_interval", 1000))
 
     state = replicate(state, mesh)
+    profile_start = init_iter + 2  # skip compile iterations
     for it in range(init_iter, total + 1):
+        if profile_dir and it == profile_start:
+            jax.profiler.start_trace(profile_dir)
         batch = shard_batch(next(train_iter), mesh)
         with speed.time_frame():
             state, loss, metrics = pstep(state, batch)
         meter.update({k: float(v) for k, v in metrics.items()})
+        if profile_dir and it == profile_start + 2:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace (3 iters) written to {profile_dir}")
         if it % 100 == 0 or debug:
             logger.info(f"iter {it}: {meter.format()} ({speed.render_fps:.2f} it/s)")
 
         if it % visual_interval == 0:
-            _dump_visuals(rt, state, batch, vis_dir, it)
+            _dump_visuals(vis_fwd, state, batch, vis_dir, it)
         if it % check_interval == 0 or it == total:
-            val = run_validation(rt, state, valid_ds, batch_size, mesh)
+            val = run_validation(estep, state, valid_ds, batch_size, mesh)
             logger.info(f"validation @{it}: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f}")
             ckpts.save_latest(state, it)
             if val["ssim"] > ckpts.best_ssim():
@@ -121,33 +138,43 @@ def run_training(
     return state
 
 
-def _dump_visuals(rt: Runtime, state, batch, vis_dir: str, it: int) -> None:
+def _eval_metrics_fn(statics):
+    """Per-shard validation metrics; pmean'd over the mesh by the eval step."""
+
+    def fn(params, batch):
+        outputs, _, _ = forward_pipeline(params, batch, statics)
+        gt = batch["target"]["image"] * batch["target"]["mask"]
+        r = jnp.clip(outputs.renders, 0, 1)
+        return {"psnr": psnr(r, gt).mean(), "ssim": ssim(r, gt)}
+
+    return fn
+
+
+def _dump_visuals(vis_fwd, state, batch, vis_dir: str, it: int) -> None:
+    """Render a GT / refined / raw grid with the jitted forward (the batch
+    is already on the mesh; take the first two items host-side after)."""
     try:
-        local = jax.tree_util.tree_map(lambda x: np.asarray(x)[:2], batch)
-        outputs, _, _ = forward_pipeline(
-            jax.tree_util.tree_map(np.asarray, state.params), local, rt.statics
-        )
-        gt = np.asarray(local["target"]["image"]) * np.asarray(local["target"]["mask"])
+        outputs = vis_fwd(state.params, batch)
+        gt = np.asarray(batch["target"]["image"]) * np.asarray(batch["target"]["mask"])
+        n = min(2, gt.shape[0])
         _save_grid(
             os.path.join(vis_dir, f"training_{it}.jpg"),
-            [gt, np.asarray(outputs.renders), np.asarray(outputs.raw_renders)],
+            [gt[:n], np.asarray(outputs.renders)[:n], np.asarray(outputs.raw_renders)[:n]],
         )
     except Exception as e:  # visuals must never kill training
         print(f"[visuals] skipped: {e}")
 
 
-def run_validation(rt: Runtime, state, valid_ds, batch_size: int, mesh) -> dict:
-    """Mean PSNR/SSIM over the validation split (ref: trainer.py:139-189;
-    the all_reduce happens implicitly since eval runs on replicated data)."""
+def run_validation(estep, state, valid_ds, batch_size: int, mesh) -> dict:
+    """Mean PSNR/SSIM over the validation split, computed on-device and
+    pmean'd across the mesh per batch (ref: trainer.py:139-189 — DDP ranks
+    each eval a shard then fabric.all_reduce the scalars)."""
     loader = PrefetchLoader(valid_ds, batch_size, shuffle=False, drop_last=True)
-    params = jax.tree_util.tree_map(np.asarray, state.params)
     psnrs, ssims = [], []
     for batch in loader:
-        outputs, _, _ = forward_pipeline(params, batch, rt.statics)
-        gt = jnp.asarray(batch["target"]["image"]) * jnp.asarray(batch["target"]["mask"])
-        r = jnp.clip(outputs.renders, 0, 1)
-        psnrs.append(float(psnr(r, gt).mean()))
-        ssims.append(float(ssim(r, gt)))
+        m = estep(state.params, shard_batch(batch, mesh))
+        psnrs.append(float(m["psnr"]))
+        ssims.append(float(m["ssim"]))
     if not psnrs:
         return {"psnr": 0.0, "ssim": 0.0}
     return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}

@@ -104,6 +104,28 @@ def make_train_step(
     return step
 
 
+def make_parallel_eval_step(forward_metrics_fn, mesh: Mesh, batch_spec=P("data")):
+    """shard_map'd eval: batch sharded over 'data', metrics pmean'd mesh-wide.
+
+    The explicit-collective equivalent of the reference's
+    `fabric.all_reduce(metric, reduce_op="mean")` (ref: main/trainer.py:175-181).
+    forward_metrics_fn(params, batch) -> dict of scalar metrics."""
+
+    def estep(params, batch):
+        metrics = forward_metrics_fn(params, batch)
+        return jax.lax.pmean(metrics, "data")
+
+    return jax.jit(
+        jax.shard_map(
+            estep,
+            mesh=mesh,
+            in_specs=(P(), batch_spec),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
 def make_parallel_train_step(
     loss_fn,
     optimizer,

@@ -151,3 +151,32 @@ def test_row_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(invd), np.asarray(invd_ref), atol=2e-5)
     np.testing.assert_array_equal(np.asarray(radii), np.asarray(radii_ref))
+
+
+def test_parallel_eval_step_mesh_wide_mean():
+    """make_parallel_eval_step pmeans per-shard metrics — the result must
+    equal the global over-the-full-batch mean (fabric.all_reduce parity,
+    ref: main/trainer.py:175-181)."""
+    from guava_renderer_tpu.train.trainstep import make_parallel_eval_step
+
+    params = toy_params()
+    batch = make_batch(8)
+
+    def metrics_fn(params, b):
+        pred = b["x"] @ params["dense"]["kernel"] + params["dense"]["bias"]
+        return {"mse": jnp.mean((pred - b["y"]) ** 2), "mean_x": jnp.mean(b["x"])}
+
+    mesh = data_parallel_mesh(8)
+    estep = make_parallel_eval_step(metrics_fn, mesh)
+    out = estep(params, shard_batch(batch, mesh))
+
+    # per-item metrics averaged over all shards == global mean (equal shards)
+    per_item_mse = []
+    per_item_mx = []
+    for i in range(8):
+        b1 = {k: v[i : i + 1] for k, v in batch.items()}
+        m = metrics_fn(params, b1)
+        per_item_mse.append(float(m["mse"]))
+        per_item_mx.append(float(m["mean_x"]))
+    np.testing.assert_allclose(float(out["mse"]), np.mean(per_item_mse), rtol=1e-5)
+    np.testing.assert_allclose(float(out["mean_x"]), np.mean(per_item_mx), rtol=1e-5)
