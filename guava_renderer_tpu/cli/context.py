@@ -106,6 +106,11 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         style_dim=int(rcfg0.get("num_style_feat", 512)) if rcfg0 else 512,
         num_mlp=int(rcfg0.get("num_mlp", 8)) if rcfg0 else 8,
         channel_scale=float(rcfg0.get("channel_scale", 1)) if rcfg0 else 1.0,
+        # optional backbone shrink knobs (CI/smoke configs; default ViT-B/14)
+        vit_dim=int(m.get("vit_dim", 768)),
+        vit_depth=int(m.get("vit_depth", 12)),
+        vit_heads=int(m.get("vit_heads", 12)),
+        pyramid_dims=tuple(m.get("pyramid_dims", (256, 512, 1024, 1024))),
     )
     raster_cfg = m.get("raster", None)
     settings = RasterizeSettings(
@@ -124,6 +129,9 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         channel_scale=float(rcfg.get("channel_scale", 1)) if rcfg else 1.0,
         small=bool(rcfg.get("small", True)) if rcfg else True,
         settings=settings,
+        # refiner trained at styleunet.out_size; differs from image_size in
+        # multi-res render_motion (--image_size 720/1080/2048)
+        refiner_size=int(rcfg.get("out_size", m.image_size)) if rcfg else None,
     )
 
     opt = cfg.OPTIMIZE
@@ -197,7 +205,92 @@ def init_params(rt: Runtime, seed: int = 0, feature_img_size: int | None = None)
     rend = rt.renderer.init(key, gs, [cam])["params"]
     x0 = jnp.zeros((1, m.image_size, m.image_size, 3))
     lp = rt.statics.lpips.init(key, x0, x0)["params"]
-    return {"model": {"inferer": inf, "renderer": rend}, "lpips": lp}
+    params = {"model": {"inferer": inf, "renderer": rend}, "lpips": lp}
+    return load_pretrained_backbones(rt, params)
+
+
+def load_pretrained_backbones(rt: Runtime, params: dict,
+                              pretrained_dir: str | None = None) -> dict:
+    """Overlay converted pretrained weights when their msgpacks exist.
+
+    The reference trains with a frozen torch-hub DINOv2
+    (ref: ubody_gaussian.py:37-38) and an LPIPS-alex perceptual loss with
+    torchvision weights (ref: loss_utils.py:79). Offline, those arrive via
+    tools/convert_weights.py into MODEL.pretrained_dir
+    (default assets/pretrained/):
+        dinov2_vitb14.msgpack  -> inferer.dino_encoder.dino
+        lpips_alex.msgpack     -> the LPIPS tree
+    Missing files are skipped with a notice (random backbone)."""
+    import os as _os
+
+    from flax.serialization import msgpack_restore
+
+    from ..train.weights import merge_params
+
+    d = pretrained_dir or str(rt.cfg.MODEL.get("pretrained_dir", "assets/pretrained"))
+    dino_path = _os.path.join(d, "dinov2_vitb14.msgpack")
+    if _os.path.isfile(dino_path):
+        with open(dino_path, "rb") as f:
+            tree = msgpack_restore(f.read())
+        enc = params["model"]["inferer"]["dino_encoder"]
+        enc["dino"] = merge_params(enc["dino"], tree, require_all=True)
+        print(f"[context] loaded pretrained DINOv2 from {dino_path}")
+    else:
+        print(f"[context] no pretrained DINOv2 at {dino_path} — random backbone")
+    lpips_path = _os.path.join(d, "lpips_alex.msgpack")
+    if _os.path.isfile(lpips_path):
+        with open(lpips_path, "rb") as f:
+            tree = msgpack_restore(f.read())
+        params["lpips"] = merge_params(params["lpips"], tree, require_all=True)
+        print(f"[context] loaded pretrained LPIPS from {lpips_path}")
+    return params
+
+
+def load_model_params(rt: Runtime, model_path: str | None, basemodel: str | None = None,
+                      allow_random: bool = False) -> tuple[dict, str]:
+    """Weight discovery shared by test/render_motion/app (ref: main/test.py:242-252
+    best*/latest* + find_pt_file, utils/general_utils.py:310-314).
+
+    Order: explicit --basemodel > Orbax checkpoints under <model_path>/checkpoints
+    > converted reference weights <model_path>/converted_params.msgpack.
+    Random init requires allow_random (the reference hard-requires weights)."""
+    import jax.numpy as jnp
+
+    from ..train.checkpoints import CheckpointManager
+    from ..train.trainstep import TrainState, make_optimizer
+    from ..train.weights import load_converted_params
+
+    params = init_params(rt)["model"]
+
+    def template():
+        return TrainState(params, make_optimizer(params).init(params), jnp.asarray(0))
+
+    if basemodel:
+        cm = CheckpointManager(os.path.dirname(os.path.dirname(basemodel)) or ".")
+        restored, it = cm.restore(template(), basemodel)
+        return restored.params, f"{basemodel} @ iter {it}"
+
+    if model_path:
+        if os.path.isdir(os.path.join(model_path, "checkpoints")):
+            cm = CheckpointManager(model_path)
+            found = cm.find_checkpoint()
+            if found:
+                restored, it = cm.restore(template())
+                return restored.params, f"{found} @ iter {it}"
+        converted = os.path.join(model_path, "converted_params.msgpack")
+        if os.path.isfile(converted):
+            params = load_converted_params(converted, params)
+            return params, f"converted reference weights {converted}"
+
+    if not allow_random:
+        raise SystemExit(
+            f"no trained weights found under {model_path!r} — the reference "
+            "requires a trained checkpoint (best_*.pt). Pass "
+            "--allow_random_weights for random init (debug only), or convert "
+            "the released checkpoint with tools/convert_guava_checkpoint.py."
+        )
+    print("[context] RANDOM WEIGHTS (explicitly allowed)")
+    return params, "random initialization"
 
 
 def camera_from_w2c(rt: Runtime, w2c: np.ndarray):
