@@ -13,18 +13,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def create_avatar(args):
+    from guava_renderer_tpu.utils.platform import normalize_device_arg, pin_platform
+
+    pin_platform(args.platform or normalize_device_arg(args.devices))
+
     import numpy as np
 
     from guava_renderer_tpu.avatar.deformer import canonical_gaussians
-    from guava_renderer_tpu.cli.context import build_runtime, init_params, resolve_config
-    from guava_renderer_tpu.cli.inference import infer_avatar
+    from guava_renderer_tpu.cli.context import (
+        build_runtime,
+        load_model_params,
+        resolve_config,
+    )
+    from guava_renderer_tpu.cli.inference import FramePipeline
     from guava_renderer_tpu.data.tracked import TrackedVideoDataset
     from guava_renderer_tpu.train.checkpoints import save_pytree
     from guava_renderer_tpu.utils.ply import save_gaussian_ply
 
     cfg = resolve_config(args.model_path)
     rt = build_runtime(cfg, synthetic_assets=args.synthetic_assets)
-    params = init_params(rt)["model"]
+    params, source = load_model_params(
+        rt, args.model_path,
+        allow_random=args.allow_random_weights or args.synthetic_assets,
+    )
+    print(f"[create_avatar] weights: {source}")
 
     ds = TrackedVideoDataset(
         args.data_path, "test",
@@ -40,10 +52,11 @@ def create_avatar(args):
                 break
     rec = ds[idx]
 
-    # warm-up, then timed (the "sub-second" claim's measurement)
-    infer_avatar(rt, params, rec["source"])
+    # warm-up (compile), then timed (the "sub-second" claim's measurement)
+    pipe = FramePipeline(rt, params)
+    pipe.infer_avatar(rec["source"])
     t0 = time.time()
-    avatar, _ = infer_avatar(rt, params, rec["source"])
+    avatar, _ = pipe.infer_avatar(rec["source"])
     import jax
 
     jax.block_until_ready(avatar.uv_colors)
@@ -70,6 +83,8 @@ if __name__ == "__main__":
     parser.add_argument("--source_video_id", type=str, default="6gvP8f5WQyo__056")
     parser.add_argument("--output_avatar_path", type=str, default="my_avatar")
     parser.add_argument("--devices", "-d", default="0", type=str)
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    parser.add_argument("--allow_random_weights", action="store_true")
     parser.add_argument("--synthetic_assets", action="store_true")
     args = parser.parse_args()
     create_avatar(args)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.cameras import Camera
+from ..models.layers import resize_bilinear
 from ..models.styleunet import SimpleUNet, StyleUNet
 from ..ops.gsplat import RasterizeSettings, rasterize
 from .state import GaussianSet
@@ -71,11 +72,20 @@ class NeuralRefiner(nn.Module):
 
 
 class GaussianRenderer(nn.Module):
+    """refiner_size: the resolution the refiner was trained at (styleunet
+    out_size). When image_size differs (multi-res render_motion at
+    720/1080/2048), we rasterize at image_size, refine at refiner_size, and
+    bilinearly upscale the RGB back — the reference's StyleUNet cannot run
+    on non-512 inputs at all (final_linear expects a 4x4 bottleneck,
+    ref styleunet.py:134,186), so this is the working TPU equivalent of its
+    multi-resolution flag."""
+
     refiner_type: str = "styleunet"
     image_size: int = 512
     channel_scale: float = 1.0
     small: bool = True
     settings: RasterizeSettings = RasterizeSettings()
+    refiner_size: int | None = None
 
     @nn.compact
     def __call__(
@@ -105,13 +115,19 @@ class GaussianRenderer(nn.Module):
             invds.append(invd[0])
         feature_renders = jnp.stack(feats)
         rng = self.make_rng("noise") if self.has_rng("noise") else None
+        rsize = self.refiner_size or self.image_size
+        refiner_in = feature_renders
+        if rsize != self.image_size:
+            refiner_in = resize_bilinear(refiner_in, (rsize, rsize))
         renders = NeuralRefiner(
             refiner_type=self.refiner_type,
-            image_size=self.image_size,
+            image_size=rsize,
             channel_scale=self.channel_scale,
             small=self.small,
             name="neural_refiner",
-        )(feature_renders, rng=rng)
+        )(refiner_in, rng=rng)
+        if rsize != self.image_size:
+            renders = resize_bilinear(renders, (self.image_size, self.image_size))
         return RenderOutputs(
             renders=renders,
             raw_renders=feature_renders[..., :3],

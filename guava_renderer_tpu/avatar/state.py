@@ -50,10 +50,17 @@ class GaussianSet(NamedTuple):
     sh_degree: int = 0
 
 
-def prune_avatar(avatar: GaussianAvatar, opacity_threshold: float = 0.001) -> GaussianAvatar:
+def prune_avatar(
+    avatar: GaussianAvatar,
+    opacity_threshold: float = 0.001,
+    pad_to_multiple: int | None = 4096,
+) -> GaussianAvatar:
     """Offline compaction for export (batch-1, numpy; not jittable).
 
-    Mirrors the reference's prune_gaussians (ubody_gaussian.py:229-243)."""
+    Mirrors the reference's prune_gaussians (ubody_gaussian.py:229-243).
+    `pad_to_multiple` pads the kept set with zero-opacity invalid entries so
+    the UV count lands on a shape bucket — different identities then share
+    one jit trace of the per-frame render path instead of recompiling."""
     a = {k: np.asarray(v) for k, v in avatar._asdict().items()}
     keep = (a["uv_opacity"][0, :, 0] > opacity_threshold) & a["uv_valid"]
     out = dict(a)
@@ -61,7 +68,27 @@ def prune_avatar(avatar: GaussianAvatar, opacity_threshold: float = 0.001) -> Ga
         out[k] = a[k][:, keep]
     out["uv_binding_face"] = a["uv_binding_face"][keep]
     out["uv_face_bary"] = a["uv_face_bary"][keep]
-    out["uv_valid"] = np.ones(int(keep.sum()), bool)
+    n = int(keep.sum())
+    out["uv_valid"] = np.ones(n, bool)
+    if pad_to_multiple:
+        # Round up to the bucket, but never beyond the unpruned count — the
+        # original shape is itself a valid (already traced) shape, so tiny
+        # avatars don't grow.
+        target = -(-max(n, 1) // pad_to_multiple) * pad_to_multiple
+        target = min(target, a["uv_local_xyz"].shape[1])
+        pad = max(0, target - n)
+        if pad:
+            for k in ("uv_local_xyz", "uv_colors", "uv_opacity", "uv_scales", "uv_rotations"):
+                w = [(0, 0)] * out[k].ndim
+                w[1] = (0, pad)
+                out[k] = np.pad(out[k], w)
+            # identity quats / tiny scales in the pad region: zero-opacity
+            # culls them, but keep the math NaN-free (quat normalization)
+            out["uv_rotations"][:, n:, 0] = 1.0
+            out["uv_scales"][:, n:] = 1e-6
+            out["uv_binding_face"] = np.pad(out["uv_binding_face"], (0, pad))
+            out["uv_face_bary"] = np.pad(out["uv_face_bary"], ((0, pad), (0, 0)))
+            out["uv_valid"] = np.pad(out["uv_valid"], (0, pad))
     return GaussianAvatar(**{k: jnp.asarray(v) for k, v in out.items()})
 
 

@@ -4,6 +4,13 @@ Parity with main/test.py (ref: main/test.py:21-278): warm-up + timed
 one-shot inference, avatar build (+prune), PLY export, per-frame
 deform+render over the test frames, gt/ + render/ PNG dumps, side-by-side
 MP4 at 30 fps, and speed_info.json with {infer_time ms, render_speed fps}.
+
+Performance: the per-frame path is ONE jitted device call (deform +
+rasterize + refine, camera built from the w2c array inside the trace),
+reused across frames and videos — the TPU equivalent of the reference's
+single device-side render call per frame (ref: main/test.py:61-94).
+`prune_avatar` pads the UV set to a shape bucket so different identities
+share the same trace.
 """
 
 from __future__ import annotations
@@ -17,11 +24,20 @@ import numpy as np
 from ..avatar.deformer import deform_avatar
 from ..avatar.inferer import build_avatar
 from ..avatar.state import prune_avatar
+from ..core.cameras import Camera
 from ..train.pipeline import _unpack_params
 from ..utils.camera_orbit import generate_novel_view_poses
 from ..utils.logging_utils import SpeedMeter
 from ..utils.ply import save_gaussian_ply
-from .context import Runtime, camera_from_w2c
+from .context import Runtime
+
+# identity/pose keys recognized by _unpack_params — everything else in a
+# record's params dict is data-layer metadata and must not reach the trace
+_PARAM_KEYS = (
+    "shape", "body_pose", "global_pose", "left_hand_pose", "right_hand_pose",
+    "exp", "joints_offset", "head_scale", "hand_scale",
+    "flame_shape", "flame_exp", "flame_jaw", "flame_eyes", "flame_eyelids",
+)
 
 
 def _save_png(path: str, img: np.ndarray) -> None:
@@ -44,49 +60,103 @@ def _write_video(path: str, frames: list[np.ndarray], fps: int = 30) -> None:
     vw.release()
 
 
-def _batched(rec_params: dict) -> dict:
-    return {k: jnp.asarray(v)[None] for k, v in rec_params.items()}
+def _batched_params(rec_params: dict) -> dict:
+    """Records are per-frame (unbatched) — always add the batch dim. Keys
+    like global_pose are stored (1, 3) where 1 is the JOINT dim, so no
+    shape-based 'already batched' heuristics."""
+    return {
+        k: jnp.asarray(v)[None] for k, v in rec_params.items() if k in _PARAM_KEYS
+    }
+
+
+class FramePipeline:
+    """Jitted one-shot inference + per-frame render, built once per model.
+
+    Both closures capture the runtime statics (EHM tables, UV tables,
+    modules) as constants; only params / images / pose arrays are traced
+    arguments, so frames and videos reuse one compiled executable."""
+
+    def __init__(self, rt: Runtime, params: dict):
+        self.rt = rt
+        self.params = params
+        statics = rt.statics
+        image_size = int(rt.cfg.MODEL.image_size)
+        invtanfov = float(rt.cfg.MODEL.invtanfov)
+        ehm = rt.ehm
+        faces = statics.faces
+
+        def infer_impl(inf_params, image, w2c, src_params):
+            body, flame = _unpack_params(src_params)
+            avatar, extra = build_avatar(
+                statics.inferer,
+                {"params": inf_params},
+                ehm,
+                faces,
+                statics.uvmap_f_idx,
+                statics.uvmap_f_bary,
+                statics.uvmap_mask,
+                image,
+                w2c,
+                body,
+                flame,
+                image_size=image_size,
+                invtanfov=invtanfov,
+            )
+            return avatar, extra
+
+        def frame_impl(rend_params, avatar, tgt_params, w2c):
+            body, flame = _unpack_params(tgt_params)
+            gs = deform_avatar(avatar, ehm, faces, body, flame)
+            tanfov = jnp.asarray(1.0 / invtanfov, jnp.float32)
+            cam = Camera(
+                R=w2c[:3, :3], t=w2c[:3, 3],
+                tanfovx=tanfov, tanfovy=tanfov,
+                width=image_size, height=image_size,
+            )
+            outputs = statics.renderer.apply({"params": rend_params}, gs, [cam])
+            return (
+                jnp.clip(outputs.renders[0], 0, 1),
+                jnp.clip(outputs.raw_renders[0], 0, 1),
+            )
+
+        self._infer = jax.jit(infer_impl)
+        self._frame = jax.jit(frame_impl)
+
+    def infer_avatar(self, source: dict, prune: bool = True):
+        """One-shot avatar from a source record (ref: test.py:38-56)."""
+        avatar, extra = self._infer(
+            self.params["inferer"],
+            jnp.asarray(source["image"])[None],
+            jnp.asarray(source["w2c"])[None],
+            _batched_params(source["params"]),
+        )
+        if prune:
+            avatar = prune_avatar(
+                avatar, float(self.rt.cfg.MODEL.get("opacity_threshold", 0.001))
+            )
+        return avatar, extra
+
+    def render_frame(self, avatar, target: dict) -> dict:
+        """Deform + rasterize + refine one target record (ref: test.py:70-80)
+        as a single device call."""
+        render, raw = self._frame(
+            self.params["renderer"],
+            avatar,
+            _batched_params(target["params"]),
+            jnp.asarray(target["w2c"]),
+        )
+        return {"render": render, "raw": raw}
 
 
 def infer_avatar(rt: Runtime, params: dict, source: dict, prune: bool = True):
-    """One-shot avatar from a source record (ref: test.py:38-56)."""
-    body, flame = _unpack_params(
-        {k: jnp.asarray(v) for k, v in source["params"].items()}
-    )
-    avatar, extra = build_avatar(
-        rt.inferer,
-        {"params": params["inferer"]},
-        rt.ehm,
-        rt.statics.faces,
-        rt.statics.uvmap_f_idx,
-        rt.statics.uvmap_f_bary,
-        rt.statics.uvmap_mask,
-        jnp.asarray(source["image"])[None],
-        jnp.asarray(source["w2c"])[None],
-        body,
-        flame,
-        image_size=rt.cfg.MODEL.image_size,
-        invtanfov=float(rt.cfg.MODEL.invtanfov),
-    )
-    if prune:
-        avatar = prune_avatar(
-            avatar, float(rt.cfg.MODEL.get("opacity_threshold", 0.001))
-        )
-    return avatar, extra
+    """Convenience wrapper (one-off; loops should hold a FramePipeline)."""
+    return FramePipeline(rt, params).infer_avatar(source, prune=prune)
 
 
 def render_frame(rt: Runtime, params: dict, avatar, target: dict) -> dict:
-    """Deform + rasterize + refine one target record (ref: test.py:70-80)."""
-    body, flame = _unpack_params(_batched(target["params"]))
-    gs = deform_avatar(avatar, rt.ehm, rt.statics.faces, body, flame)
-    cam = camera_from_w2c(rt, np.asarray(target["w2c"]))
-    outputs = rt.renderer.apply(
-        {"params": params["renderer"]}, gs, [cam]
-    )
-    return {
-        "render": np.asarray(jnp.clip(outputs.renders[0], 0, 1)),
-        "raw": np.asarray(jnp.clip(outputs.raw_renders[0], 0, 1)),
-    }
+    """Convenience wrapper (one-off; loops should hold a FramePipeline)."""
+    out = FramePipeline(rt, params).render_frame(avatar, target)
+    return {k: np.asarray(v) for k, v in out.items()}
 
 
 def render_set(
@@ -100,7 +170,7 @@ def render_set(
 ) -> dict:
     """Self-reenactment over the test frames of each video (ref: test.py:30-94)."""
     os.makedirs(save_path, exist_ok=True)
-    speed = SpeedMeter()
+    pipe = FramePipeline(rt, params)
 
     by_video: dict[str, list[int]] = {}
     for i, key in enumerate(dataset.frames):
@@ -109,6 +179,7 @@ def render_set(
 
     results = {}
     for vid, idxs in by_video.items():
+        speed = SpeedMeter()
         scene_dir = os.path.join(save_path, vid)
         rdir = os.path.join(scene_dir, saving_name)
         gdir = os.path.join(scene_dir, "gt")
@@ -116,10 +187,10 @@ def render_set(
         os.makedirs(gdir, exist_ok=True)
 
         first = dataset[idxs[0]]
-        # warm-up then timed inference (ref: test.py:41-50)
-        infer_avatar(rt, params, first["source"])
+        # warm-up (compile) then timed inference (ref: test.py:41-50)
+        pipe.infer_avatar(first["source"])
         with speed.time_infer():
-            avatar, _ = infer_avatar(rt, params, first["source"])
+            avatar, _ = pipe.infer_avatar(first["source"])
             jax.block_until_ready(avatar.uv_colors)
 
         if export_ply:
@@ -137,16 +208,20 @@ def render_set(
 
         frames = []
         sel = idxs if max_frames is None else idxs[:max_frames]
+        # warm-up the frame trace so the timed loop measures steady state
+        if sel:
+            pipe.render_frame(avatar, dataset[sel[0]]["target"])
         for i in sel:
             rec = dataset[i]
             with speed.time_frame():
-                out = render_frame(rt, params, avatar, rec["target"])
+                out = pipe.render_frame(avatar, rec["target"])
                 jax.block_until_ready(out["render"])
             name = f"{i:06d}.png"
             gt = np.asarray(rec["target"]["image"]) * np.asarray(rec["target"]["mask"])
+            render = np.asarray(out["render"])
             _save_png(os.path.join(gdir, name), gt)
-            _save_png(os.path.join(rdir, name), out["render"])
-            frames.append(np.concatenate([gt, out["render"]], axis=1))
+            _save_png(os.path.join(rdir, name), render)
+            frames.append(np.concatenate([gt, render], axis=1))
         _write_video(os.path.join(scene_dir, f"{vid}_compare.mp4"), frames)
         speed.dump(os.path.join(scene_dir, "speed_info.json"))
         results[vid] = {
@@ -178,8 +253,9 @@ def render_cross_set(
 ) -> None:
     """Cross-reenactment (ref: main/test.py:96-139)."""
     os.makedirs(save_path, exist_ok=True)
+    pipe = FramePipeline(rt, params)
     src = source_dataset[0]
-    avatar, _ = infer_avatar(rt, params, src["source"])
+    avatar, _ = pipe.infer_avatar(src["source"])
     frames = []
     n = len(target_dataset) if max_frames is None else min(max_frames, len(target_dataset))
     for i in range(n):
@@ -188,9 +264,10 @@ def render_cross_set(
         tgt["params"] = change_id_info(tgt["params"], src["source"]["params"])
         if keep_source_cam:
             tgt["w2c"] = src["source"]["w2c"]
-        out = render_frame(rt, params, avatar, tgt)
-        _save_png(os.path.join(save_path, f"{i:06d}.png"), out["render"])
-        frames.append(out["render"])
+        out = pipe.render_frame(avatar, tgt)
+        render = np.asarray(out["render"])
+        _save_png(os.path.join(save_path, f"{i:06d}.png"), render)
+        frames.append(render)
     _write_video(os.path.join(save_path, "cross_reenact.mp4"), frames)
 
 
@@ -205,8 +282,9 @@ def render_novel_views(
 ) -> None:
     """Orbit renders, static pose or animated (ref: main/test.py:141-216)."""
     os.makedirs(save_path, exist_ok=True)
+    pipe = FramePipeline(rt, params)
     first = dataset[frame_idx]
-    avatar, _ = infer_avatar(rt, params, first["source"])
+    avatar, _ = pipe.infer_avatar(first["source"])
     c2w = np.linalg.inv(np.asarray(first["target"]["w2c"]))
     poses = generate_novel_view_poses(c2w, num_keyframes=num_keyframes)
     frames = []
@@ -214,7 +292,8 @@ def render_novel_views(
         rec = first if static else dataset[min(i, len(dataset) - 1)]
         tgt = dict(rec["target"])
         tgt["w2c"] = w2c
-        out = render_frame(rt, params, avatar, tgt)
-        _save_png(os.path.join(save_path, f"{i:06d}.png"), out["render"])
-        frames.append(out["render"])
+        out = pipe.render_frame(avatar, tgt)
+        render = np.asarray(out["render"])
+        _save_png(os.path.join(save_path, f"{i:06d}.png"), render)
+        frames.append(render)
     _write_video(os.path.join(save_path, "novel_views.mp4"), frames)

@@ -65,6 +65,7 @@ class TrackedVideoDataset:
         head_crop_size: int = 512,
         hand_crop_size: int = 512,
         seed: int = 0,
+        test_full: bool = False,
     ):
         assert split in ("train", "valid", "test")
         self.split = split
@@ -86,10 +87,22 @@ class TrackedVideoDataset:
             with open(os.path.join(data_path, "dataset_frames.json")) as f:
                 self.frames = json.load(f)[split]
         else:
+            # test split: `testing_split.json` maps video -> number of
+            # trailing frames reserved for testing; --non_test_full renders
+            # every frame instead (ref: data_loader.py:206-214, test.py:62).
+            split_path = os.path.join(data_path, "testing_split.json")
+            if os.path.exists(split_path) and not test_full:
+                with open(split_path) as f:
+                    self.testing_split = json.load(f)
+            else:
+                self.testing_split = {
+                    vid: len(info["frames_keys"])
+                    for vid, info in self.videos_info.items()
+                }
             self.frames = [
                 f"{vid}/{fk}"
                 for vid, info in self.videos_info.items()
-                for fk in info["frames_keys"]
+                for fk in info["frames_keys"][-int(self.testing_split.get(vid, len(info["frames_keys"]))):]
             ]
         self._store: RecordStore | None = None
 

@@ -1,8 +1,13 @@
 """Render a saved avatar with external motion — CLI parity with the
 reference render_motion.py (ref: render_motion.py:85-456): saved avatar +
-refiner checkpoint, SMPL-X npz (EMAGE) and/or FLAME (ARTalk) motion, optional
-fps resampling, static look-at camera, per-frame deform+render to MP4 with
-optional audio mux (requires ffmpeg on PATH).
+trained refiner checkpoint (hard-required, ref :109), SMPL-X npz (EMAGE)
+and/or FLAME (ARTalk) motion, optional fps resampling, static look-at
+camera, per-frame deform+render at 512/720/1080/2048 to MP4 with optional
+audio mux (requires ffmpeg on PATH).
+
+The per-frame path is one jitted device call reused across frames
+(FramePipeline); --image_size re-rasterizes at the chosen resolution while
+the refiner runs at its trained size (see GaussianRenderer.refiner_size).
 """
 
 import argparse
@@ -14,12 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def render_motion(args):
+    from guava_renderer_tpu.utils.platform import pin_platform
+
+    pin_platform(args.platform)
+
     import jax.numpy as jnp
     import numpy as np
 
     from guava_renderer_tpu.avatar.state import GaussianAvatar
-    from guava_renderer_tpu.cli.context import build_runtime, init_params, resolve_config
-    from guava_renderer_tpu.cli.inference import _write_video, render_frame
+    from guava_renderer_tpu.cli.context import (
+        build_runtime,
+        load_model_params,
+        resolve_config,
+    )
+    from guava_renderer_tpu.cli.inference import FramePipeline, _write_video
     from guava_renderer_tpu.motion import (
         load_flame_motion,
         load_smplx_motion,
@@ -30,10 +43,18 @@ def render_motion(args):
     from guava_renderer_tpu.utils.camera_orbit import look_at_w2c
 
     cfg = resolve_config(args.model_path)
+    if int(args.image_size) != int(cfg.MODEL.image_size):
+        cfg.set_readonly(False)
+        cfg.MODEL.image_size = int(args.image_size)
+        cfg.set_readonly(True)
     rt = build_runtime(cfg, synthetic_assets=args.synthetic_assets)
-    params = init_params(rt)["model"]
 
-    template = {k: None for k in GaussianAvatar._fields}
+    params, source = load_model_params(
+        rt, args.model_path,
+        allow_random=args.allow_random_weights or args.synthetic_assets,
+    )
+    print(f"[render_motion] weights: {source}")
+
     avatar_dict = load_pytree(args.avatar_path, None)
     avatar = GaussianAvatar(**{k: jnp.asarray(v) for k, v in avatar_dict.items()})
 
@@ -48,6 +69,7 @@ def render_motion(args):
         np.pi / 2, np.pi / 2 - 0.05, np.asarray([0.0, 0.75, 0.0]), radius=args.cam_radius
     )
 
+    pipe = FramePipeline(rt, params)
     n = smplx_motion["body_pose"].shape[0]
     if args.max_frames:
         n = min(n, args.max_frames)
@@ -60,14 +82,14 @@ def render_motion(args):
             n_shape=n_shape, n_exp=n_exp,
             hand_pose_scale=args.hand_pose_scale,
         )
-        # motion_frame_params returns batched (1, ...) arrays; render_frame
+        # motion_frame_params returns batched (1, ...) arrays; the pipeline
         # batches records itself
         p = {k: np.asarray(v)[0] for k, v in p.items()}
-        out = render_frame(rt, params, avatar, {"params": p, "w2c": w2c})
-        frames.append(out["render"])
+        out = pipe.render_frame(avatar, {"params": p, "w2c": w2c})
+        frames.append(np.asarray(out["render"]))
     out_path = args.output or "motion_render.mp4"
     _write_video(out_path, frames, fps=int(args.fps))
-    print(f"wrote {len(frames)} frames to {out_path}")
+    print(f"wrote {len(frames)} frames to {out_path} at {args.image_size}px")
 
     if args.audio and os.path.exists(args.audio):
         muxed = os.path.splitext(out_path)[0] + "_audio.mp4"
@@ -97,11 +119,15 @@ if __name__ == "__main__":
     parser.add_argument("--cam_radius", type=float, default=5.0)
     parser.add_argument("--hand_pose_scale", type=float, default=1.0)
     parser.add_argument("--image_size", type=int, default=512,
-                        choices=[512, 720, 1080, 2048])
+                        help="output resolution (rasterized natively; refiner "
+                             "runs at its trained size). The reference "
+                             "supports 512/720/1080/2048; any size works here")
     parser.add_argument("--no_refiner", action="store_true",
                         help="kept for CLI parity (the reference flag is a no-op, "
                              "render_motion.py:116-118)")
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    parser.add_argument("--allow_random_weights", action="store_true")
     parser.add_argument("--synthetic_assets", action="store_true")
     args = parser.parse_args()
     render_motion(args)

@@ -37,12 +37,54 @@ def tiny_cfg(tiny_dataset, tmp_path_factory):
     return str(out)
 
 
+@pytest.fixture(scope="module")
+def micro_cfg(tmp_path_factory):
+    """Micro config + micro synthetic dataset (1-core CPU friendly)."""
+    import yaml
+
+    from guava_renderer_tpu.data.synthetic import write_synthetic_dataset
+
+    d = str(tmp_path_factory.mktemp("micro_ds"))
+    write_synthetic_dataset(d, n_videos=1, n_frames=4, image_size=48, n_shape=8, n_exp=4)
+    with open(os.path.join(REPO, "configs/train/micro_synthetic.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["DATASET"]["data_path"] = d
+    out = tmp_path_factory.mktemp("cfg") / "micro.yaml"
+    with open(out, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return str(out)
+
+
+def test_train_cli_micro(micro_cfg, tmp_path):
+    """Default-suite driver smoke: 2 iters + validation through main/train.py
+    in a subprocess with in-process CPU pinning (--platform cpu must win over
+    the sitecustomize's JAX_PLATFORMS=axon)."""
+    r = subprocess.run(
+        [
+            sys.executable, "main/train.py",
+            "-c", micro_cfg, "--synthetic_assets", "--max_iters", "2",
+            "--platform", "cpu", "--debug",
+        ],
+        cwd=REPO,
+        env=dict(ENV, GUAVA_OUTPUT_DIR=str(tmp_path)),
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    log = os.path.join(tmp_path, "training", "micro", "train_log.txt")
+    assert os.path.isfile(log)
+    text = open(log).read()
+    assert "iter" in text and "validation" in text
+
+
 @pytest.mark.slow
 def test_train_cli_runs(tiny_cfg, tmp_path):
     r = subprocess.run(
         [
             sys.executable, "main/train.py",
-            "-c", tiny_cfg, "--synthetic_assets", "--max_iters", "2", "-d", "1",
+            "-c", tiny_cfg, "--synthetic_assets", "--max_iters", "2",
+            "--platform", "cpu",
         ],
         cwd=REPO,
         env=dict(ENV, GUAVA_OUTPUT_DIR=str(tmp_path)),
@@ -62,6 +104,7 @@ def test_test_cli_self_reenactment(tiny_cfg, tiny_dataset, tmp_path):
             sys.executable, "main/test.py",
             "-c", tiny_cfg, "--data_path", tiny_dataset,
             "-s", save, "--synthetic_assets", "--max_frames", "2",
+            "--platform", "cpu",
         ],
         cwd=REPO,
         env=ENV,
