@@ -455,3 +455,21 @@ def load_flame(
         l_eyelid=l_eyelid,
         r_eyelid=r_eyelid,
     )
+
+
+def template_position_map(
+    v_template: np.ndarray,
+    faces: np.ndarray,
+    uvmap_f_idx: np.ndarray,
+    uvmap_mask: np.ndarray,
+) -> np.ndarray:
+    """UV-space template position map: each valid texel holds the centroid of
+    its bound face's three template vertices (ref: SMPLX.py:751-784
+    `generate_position_map`, which loops texels in Python; here one gather).
+
+    Returns (U, U, 3) f32, zeros outside the chart."""
+    U = uvmap_f_idx.shape[0]
+    fid = np.where(uvmap_mask, uvmap_f_idx, 0)
+    tri = v_template[faces[fid.reshape(-1)]]          # (U*U, 3, 3)
+    pos = tri.mean(axis=1).reshape(U, U, 3).astype(np.float32)
+    return pos * uvmap_mask[..., None]
