@@ -1,12 +1,14 @@
 """Procedural teeth grafting.
 
-Behavioral parity with the reference's SMPLX.add_teeth / FLAME.add_teeth
+Exact parity with the reference's SMPLX.add_teeth / FLAME.add_teeth
 (ref: models/modules/smplx/SMPLX.py:429-704, models/modules/flame/FLAME.py:357+):
-8 rows of N teeth vertices are constructed from the lip outside rings and
-bound to the neck (upper) / jaw (lower) joints. Instead of the reference's
-168 hard-coded face triples we *generate* the three triangle strips per jaw
-(front, back, occlusal rim) procedurally — same face count (84/jaw for N=15),
-equivalent topology.
+8 rows of N teeth vertices are constructed from the lip outside rings with
+the reference's offsets (edge at ±0.1·d, roots ±2·d, lower rows set back
+0.4·d, back rows set back d) and bound to the neck (upper) / jaw (lower)
+joints. The reference hard-codes 168 face triples (:528-699); those tables
+are exactly three mirror-symmetric quad strips per jaw (the splitting
+diagonal flips at the center quad), so we *generate* them — the gated
+golden test checks triple-for-triple equality against the reference table.
 
 Row order (matches ref vertex-block order, SMPLX.py:474-483):
   0 upper_root, 1 lower_root, 2 upper_edge, 3 lower_edge,
@@ -45,12 +47,15 @@ def generate_teeth_vertices(
     middle[:, 1] = middle[:, 1].mean()
     middle[:, 2] -= d * 1.5  # set teeth back from the lips
 
-    upper_edge = middle + np.array([0.0, d * 0.25, d * 0.4])
+    # reference offsets (ref: SMPLX.py:438-460): edges at +-0.1*d around the
+    # midline, roots +-2*d further, lower rows set back 0.4*d, back rows
+    # a full d behind the front rows
+    upper_edge = middle + np.array([0.0, d * 0.1, 0.0])
     upper_root = upper_edge + np.array([0.0, d * 2.0, 0.0])
-    lower_edge = middle + np.array([0.0, -d * 0.2, d * 0.2])
-    lower_root = lower_edge + np.array([0.0, -d * 2.0, 0.0])
+    lower_edge = middle - np.array([0.0, d * 0.1, 0.0]) - np.array([0.0, 0.0, d * 0.4])
+    lower_root = lower_edge - np.array([0.0, d * 2.0, 0.0])
 
-    thickness = np.array([0.0, 0.0, d * 0.75])
+    thickness = np.array([0.0, 0.0, d * 1.0])
     rows = {
         "upper_root": upper_root,
         "lower_root": lower_root,
@@ -64,31 +69,46 @@ def generate_teeth_vertices(
     return {k: rows[k].astype(np.float32) for k in ROWS}
 
 
-def _strip(a: np.ndarray, b: np.ndarray, flip: bool = False) -> np.ndarray:
-    """Triangle strip between two equal-length vertex-id rows: 2(N-1) faces."""
+# Quad-split patterns over quad (A=a[i], B=a[i+1], C=b[i], D=b[i+1]).
+# P/Q split along the two diagonals (one winding), R/S are their
+# opposite-winding twins. Each reference strip uses one pattern for the
+# first half and its diagonal-twin after the center quad (mirror symmetry).
+_P = (("A", "D", "C"), ("A", "B", "D"))
+_Q = (("A", "B", "C"), ("B", "D", "C"))
+_R = (("A", "C", "D"), ("A", "D", "B"))
+_S = (("A", "C", "B"), ("B", "C", "D"))
+
+
+def _sym_strip(a: np.ndarray, b: np.ndarray, first, second) -> np.ndarray:
+    """Mirror-symmetric quad strip: 2(N-1) faces, diagonal flipped from
+    `first` to `second` at the center quad (reproduces the reference's
+    hard-coded tables, ref: SMPLX.py:528-699)."""
     n = len(a)
-    f1 = np.stack([a[:-1], b[1:], b[:-1]], axis=1)
-    f2 = np.stack([a[:-1], a[1:], b[1:]], axis=1)
-    faces = np.concatenate([f1, f2], axis=0)
-    if flip:
-        faces = faces[:, ::-1]
-    return faces.astype(np.int32)
+    faces = []
+    for i in range(n - 1):
+        v = {"A": a[i], "B": a[i + 1], "C": b[i], "D": b[i + 1]}
+        for tri in first if i < (n - 1) // 2 else second:
+            faces.append([v[t] for t in tri])
+    return np.asarray(faces, np.int32)
 
 
 def teeth_faces(row_ids: dict[str, np.ndarray]) -> np.ndarray:
-    """Three strips per jaw: labial, lingual (reversed winding), occlusal rim."""
+    """Three strips per jaw (labial, lingual, occlusal rim) in the
+    reference's emission order; for N=15 this equals the reference's 168
+    hard-coded triples exactly."""
+    r = row_ids
     upper = np.concatenate(
         [
-            _strip(row_ids["upper_root"], row_ids["upper_edge"]),
-            _strip(row_ids["upper_root_back"], row_ids["upper_edge_back"], flip=True),
-            _strip(row_ids["upper_edge"], row_ids["upper_edge_back"]),
+            _sym_strip(r["upper_root"], r["upper_edge"], _P, _Q),
+            _sym_strip(r["upper_root_back"], r["upper_edge_back"], _R, _S),
+            _sym_strip(r["upper_edge_back"], r["upper_edge"], _S, _R),
         ]
     )
     lower = np.concatenate(
         [
-            _strip(row_ids["lower_root"], row_ids["lower_edge"], flip=True),
-            _strip(row_ids["lower_root_back"], row_ids["lower_edge_back"]),
-            _strip(row_ids["lower_edge"], row_ids["lower_edge_back"], flip=True),
+            _sym_strip(r["lower_edge"], r["lower_root"], _Q, _P),
+            _sym_strip(r["lower_root_back"], r["lower_edge_back"], _P, _Q),
+            _sym_strip(r["lower_edge_back"], r["lower_edge"], _Q, _P),
         ]
     )
     return np.concatenate([upper, lower])
