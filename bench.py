@@ -44,7 +44,7 @@ def emit(metric: str, value: float, unit: str = "fps"):
 
 def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               chunk: int, tpg: int, repeats: int,
-              body_side: int = 101) -> tuple[float, int]:
+              body_side: int = 101, bf16: bool = False) -> tuple[float, int]:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -121,6 +121,13 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
     ref_params = refiner.init(jax.random.PRNGKey(0), feat0)
+    if bf16:
+        # bf16 refiner: params + activations ride the MXU at half the HBM
+        # traffic; rasterizer stays f32 (blending precision contract)
+        ref_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            ref_params,
+        )
 
     base_body = BodyParams(
         shape=jnp.zeros((1, smplx.n_shape)),
@@ -141,8 +148,10 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
             cam, bg, settings,
         )
         feats = jnp.transpose(color, (1, 2, 0))[None]
+        if bf16:
+            feats = feats.astype(jnp.bfloat16)
         rgb = refiner.apply(ref_params, feats)
-        return jnp.sum(rgb)
+        return jnp.sum(rgb.astype(jnp.float32))
 
     # Time by looping inside jit with a data dependency and fetching a
     # scalar — block_until_ready does not sync reliably through the tunnel.
@@ -173,6 +182,8 @@ def main():
     ap.add_argument("--tpg", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--body-side", type=int, default=101)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 refiner params+activations (rasterizer stays f32)")
     ap.add_argument("--skip-probe", action="store_true")
     ap.add_argument("--probe-attempts", type=int, default=2)
     ap.add_argument("--probe-timeout", type=float, default=150.0)
@@ -197,12 +208,12 @@ def main():
     fps, P = run_bench(
         platform, args.frames, args.size, args.uv,
         args.tile, args.chunk, args.tpg, args.repeats,
-        body_side=args.body_side,
+        body_side=args.body_side, bf16=args.bf16,
     )
     emit(
         f"self-reenactment render FPS @{args.size}px, P={P} gaussians, "
-        f"tile={args.tile} chunk={args.chunk} tpg={args.tpg} (parity config), "
-        f"{platform} chip",
+        f"tile={args.tile} chunk={args.chunk} tpg={args.tpg} (parity config"
+        f"{', bf16 refiner' if args.bf16 else ''}), {platform} chip",
         fps,
     )
 

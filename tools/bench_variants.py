@@ -1,0 +1,84 @@
+"""One-process TPU benchmark sweep.
+
+Remote compiles through the axon tunnel are slow (30-60 s each) and only one
+process may hold the chip, so when a tunnel window opens, run ALL variants
+in one process:
+
+    python tools/bench_variants.py                # full sweep on the chip
+    python tools/bench_variants.py --quick        # 3 variants
+
+Prints one JSON line per variant (same schema as bench.py) plus a SUMMARY
+line with the best config — paste the winner into bench.py defaults.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BASELINE_FPS, run_bench  # noqa: E402
+
+VARIANTS = [
+    # (label, kwargs)
+    ("parity-f32", dict(tile=16, chunk=32, tpg=8, bf16=False)),
+    ("parity-bf16ref", dict(tile=16, chunk=32, tpg=8, bf16=True)),
+    ("tile32", dict(tile=32, chunk=32, tpg=8, bf16=False)),
+    ("tile32-bf16ref", dict(tile=32, chunk=32, tpg=8, bf16=True)),
+    ("chunk64", dict(tile=16, chunk=64, tpg=8, bf16=False)),
+    ("tile32-chunk64-bf16ref", dict(tile=32, chunk=64, tpg=8, bf16=True)),
+]
+QUICK = [0, 1, 3]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="axon", choices=["axon", "cpu", "tpu"])
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--uv", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--body-side", type=int, default=101)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    platform = "axon" if args.platform == "tpu" else args.platform
+
+    from guava_renderer_tpu.utils.platform import probe_backend
+
+    if platform == "axon":
+        ok, detail = probe_backend(platform, timeout_s=150)
+        if not ok:
+            print(json.dumps({"metric": f"sweep skipped: {detail}", "value": 0.0,
+                              "unit": "fps", "vs_baseline": 0.0}))
+            return
+
+    variants = [VARIANTS[i] for i in QUICK] if args.quick else VARIANTS
+    best = (None, 0.0)
+    for label, kw in variants:
+        t0 = time.time()
+        try:
+            fps, P = run_bench(
+                platform, args.frames, args.size, args.uv,
+                kw["tile"], kw["chunk"], kw["tpg"], args.repeats,
+                body_side=args.body_side, bf16=kw["bf16"],
+            )
+        except Exception:
+            traceback.print_exc()
+            fps, P = 0.0, 0
+        print(json.dumps({
+            "metric": f"{label} @{args.size}px P={P}",
+            "value": round(fps, 2), "unit": "fps",
+            "vs_baseline": round(fps / BASELINE_FPS, 3),
+            "wall_s": round(time.time() - t0, 1),
+        }), flush=True)
+        if fps > best[1]:
+            best = (label, fps)
+    print(f"SUMMARY best={best[0]} fps={best[1]:.2f} "
+          f"(vs {BASELINE_FPS:.0f} fps target: {best[1] / BASELINE_FPS:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
