@@ -86,6 +86,9 @@ class GaussianRenderer(nn.Module):
     small: bool = True
     settings: RasterizeSettings = RasterizeSettings()
     refiner_size: int | None = None
+    # serving lever: run the refiner in bfloat16 (cast in, cast out; caller
+    # casts the neural_refiner param subtree). Rasterization stays f32.
+    refiner_dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -119,6 +122,8 @@ class GaussianRenderer(nn.Module):
         refiner_in = feature_renders
         if rsize != self.image_size:
             refiner_in = resize_bilinear(refiner_in, (rsize, rsize))
+        if self.refiner_dtype is not None:
+            refiner_in = refiner_in.astype(self.refiner_dtype)
         renders = NeuralRefiner(
             refiner_type=self.refiner_type,
             image_size=rsize,
@@ -126,6 +131,7 @@ class GaussianRenderer(nn.Module):
             small=self.small,
             name="neural_refiner",
         )(refiner_in, rng=rng)
+        renders = renders.astype(jnp.float32)
         if rsize != self.image_size:
             renders = resize_bilinear(renders, (self.image_size, self.image_size))
         return RenderOutputs(

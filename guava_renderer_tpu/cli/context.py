@@ -132,6 +132,9 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         # refiner trained at styleunet.out_size; differs from image_size in
         # multi-res render_motion (--image_size 720/1080/2048)
         refiner_size=int(rcfg.get("out_size", m.image_size)) if rcfg else None,
+        # serving lever (MODEL.bf16_refiner / CLI --bf16): refiner compute in
+        # bfloat16, rasterizer stays f32
+        refiner_dtype=jnp.bfloat16 if bool(m.get("bf16_refiner", False)) else None,
     )
 
     opt = cfg.OPTIMIZE

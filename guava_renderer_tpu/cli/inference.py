@@ -78,8 +78,17 @@ class FramePipeline:
 
     def __init__(self, rt: Runtime, params: dict):
         self.rt = rt
-        self.params = params
         statics = rt.statics
+        if statics.renderer.refiner_dtype is not None:
+            # match the renderer's refiner compute dtype so the MXU actually
+            # runs bf16 (bf16 params x f32 input would promote back to f32)
+            dt = statics.renderer.refiner_dtype
+            params = dict(params)
+            params["renderer"] = jax.tree_util.tree_map(
+                lambda x: x.astype(dt) if x.dtype == jnp.float32 else x,
+                params["renderer"],
+            )
+        self.params = params
         image_size = int(rt.cfg.MODEL.image_size)
         invtanfov = float(rt.cfg.MODEL.invtanfov)
         ehm = rt.ehm

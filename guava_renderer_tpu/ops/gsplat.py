@@ -127,8 +127,21 @@ def bin_gaussians(
     num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
 
     if settings.instance_budget is not None and settings.instance_budget < order.shape[0]:
-        sorted_tile = sorted_tile[: settings.instance_budget]
-        order = order[: settings.instance_budget]
+        # Fair truncation: keep each tile's CLOSEST instances (round-robin by
+        # depth rank within the tile) instead of chopping the (tile, depth)-
+        # sorted tail, which would silently drop whole high-index tiles
+        # (bottom image rows). Two extra sorts, paid only when a budget is set.
+        N = order.shape[0]
+        starts = jnp.searchsorted(
+            sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), method="scan"
+        ).astype(jnp.int32)
+        pos = jnp.arange(N, dtype=jnp.int32)
+        rank = pos - starts[sorted_tile]
+        rank = jnp.where(sorted_tile < num_tiles, rank, N)  # invalid tail last
+        _, _, keep_pos = jax.lax.sort((rank, pos, pos), num_keys=2)
+        keep_pos = jnp.sort(keep_pos[: settings.instance_budget])  # restore (tile, depth)
+        sorted_tile = sorted_tile[keep_pos]
+        order = order[keep_pos]
 
     ranges = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), method="scan"

@@ -38,6 +38,10 @@ def test(args):
     from guava_renderer_tpu.utils.logging_utils import profiler_trace
 
     cfg = resolve_config(args.config_name or args.model_path)
+    if args.bf16:
+        cfg.set_readonly(False)
+        cfg.MODEL.bf16_refiner = True
+        cfg.set_readonly(True)
     rt = build_runtime(cfg, synthetic_assets=args.synthetic_assets)
 
     params, source = load_model_params(
@@ -87,6 +91,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_name", "-c", default=None, type=str)
     parser.add_argument("--devices", "-d", default="0", type=str)
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the neural refiner in bfloat16 (TPU serving)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                         help="JAX backend (overrides -d; pinned in-process)")
     parser.add_argument("--basemodel", "-b", default=None, type=str,

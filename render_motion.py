@@ -43,9 +43,11 @@ def render_motion(args):
     from guava_renderer_tpu.utils.camera_orbit import look_at_w2c
 
     cfg = resolve_config(args.model_path)
-    if int(args.image_size) != int(cfg.MODEL.image_size):
+    if int(args.image_size) != int(cfg.MODEL.image_size) or args.bf16:
         cfg.set_readonly(False)
         cfg.MODEL.image_size = int(args.image_size)
+        if args.bf16:
+            cfg.MODEL.bf16_refiner = True
         cfg.set_readonly(True)
     rt = build_runtime(cfg, synthetic_assets=args.synthetic_assets)
 
@@ -126,6 +128,8 @@ if __name__ == "__main__":
                         help="kept for CLI parity (the reference flag is a no-op, "
                              "render_motion.py:116-118)")
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the neural refiner in bfloat16 (TPU serving)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     parser.add_argument("--allow_random_weights", action="store_true")
     parser.add_argument("--synthetic_assets", action="store_true")

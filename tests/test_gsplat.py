@@ -221,6 +221,24 @@ def test_instance_budget_truncation(scene):
     np.testing.assert_allclose(huge, full, atol=1e-6)
 
 
+def test_instance_budget_truncation_is_fair_across_tiles():
+    """Over-budget scenes drop the deepest instances per tile (round-robin),
+    not whole trailing tiles — the bottom image rows must keep rendering."""
+    rng = np.random.default_rng(11)
+    means, colors, opac, scales, quats = make_scene(rng, P=128, spread=1.2)
+    cam = make_cam(64)
+    bg = jnp.zeros(C)
+    tight, _, _ = rasterize(
+        means, colors, opac, scales, quats, cam, bg,
+        RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=8,
+                          instance_budget=96),
+    )
+    img = np.asarray(tight)  # (C, H, W)
+    # with splats across the whole frame, every 16px tile row must show ink
+    for y in range(0, 64, 16):
+        assert np.abs(img[:, y : y + 16, :]).max() > 1e-3, f"tile row {y} empty"
+
+
 def test_zero_opacity_gaussians_are_free_and_invisible():
     """alpha < 1/255 is culled before binning with zero image effect."""
     cam = make_cam(32)
