@@ -85,7 +85,10 @@ class LPIPS(nn.Module):
         scale = jnp.asarray(IMAGENET_SCALE, x.dtype)
 
         def norm_input(im):
-            im = im * 2.0 - 1.0  # [0,1] -> [-1,1] (reference convention)
+            # The reference's lpipsPyTorch z-scores the caller's tensor as-is
+            # (BaseNet.z_score, networks.py:48-49) and GUAVA feeds [0,1]
+            # images directly (loss_utils.py:104) — no [0,1]->[-1,1] mapping,
+            # unlike canonical richzhang LPIPS. We match the reference.
             return (im - shift) / scale
 
         backbone = (AlexNetFeatures if self.net_type == "alex" else VGG16Features)(
@@ -98,7 +101,11 @@ class LPIPS(nn.Module):
             a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
             b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
             d = (a - b) ** 2
-            lin = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}")
+            # official LPIPS lin heads are non-negative; keep random init
+            # non-negative too so the distance stays PSD without weights
+            lin = nn.Conv(1, (1, 1), use_bias=False,
+                          kernel_init=nn.initializers.uniform(scale=0.1),
+                          name=f"lin{i}")
             total = total + jnp.mean(lin(d))
         return total
 
@@ -109,6 +116,7 @@ def load_torch_state(params: dict, torch_state: dict, net_type: str = "alex") ->
     Torch conv weights (O, I, H, W) -> flax (H, W, I, O).
     """
     import copy
+    import re
 
     params = copy.deepcopy(params)
     p = params["params"]
@@ -116,21 +124,39 @@ def load_torch_state(params: dict, torch_state: dict, net_type: str = "alex") ->
     def t2f(w):
         return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
-    conv_idx = 0
-    for k in sorted(torch_state):
-        v = torch_state[k]
-        if k.endswith("weight") and v.ndim == 4 and "lin" not in k:
-            name = f"conv{conv_idx}"
-            if name in p["backbone"]:
-                p["backbone"][name]["kernel"] = t2f(v)
-            conv_idx += 1
-        elif k.endswith("bias") and "lin" not in k:
-            name = f"conv{conv_idx - 1}"
-            if name in p["backbone"]:
-                p["backbone"][name]["bias"] = np.asarray(v)
-    lin_idx = 0
-    for k in sorted(torch_state):
-        if "lin" in k and k.endswith("weight"):
-            p[f"lin{lin_idx}"]["kernel"] = t2f(torch_state[k])
-            lin_idx += 1
+    def layer_index(key: str) -> int:
+        nums = re.findall(r"\d+", key)
+        return int(nums[0]) if nums else 0
+
+    def assign(dst: dict, field: str, value: np.ndarray, key: str):
+        if dst[field].shape != value.shape:
+            raise ValueError(
+                f"LPIPS conversion: {key} has shape {value.shape}, "
+                f"expected {dst[field].shape}"
+            )
+        dst[field] = value
+
+    # backbone convs: order by the NUMERIC layer index in the torch key
+    # (string sort would put features.10 before features.3)
+    conv_keys = sorted(
+        (k for k in torch_state
+         if "lin" not in k and k.endswith("weight")
+         and np.asarray(torch_state[k]).ndim == 4),
+        key=layer_index,
+    )
+    for i, k in enumerate(conv_keys):
+        name = f"conv{i}"
+        if name not in p["backbone"]:
+            raise ValueError(f"LPIPS conversion: unexpected extra conv {k}")
+        assign(p["backbone"][name], "kernel", t2f(torch_state[k]), k)
+        bk = k[: -len("weight")] + "bias"
+        if bk in torch_state:
+            assign(p["backbone"][name], "bias", np.asarray(torch_state[bk]), bk)
+
+    lin_keys = sorted(
+        (k for k in torch_state if "lin" in k and k.endswith("weight")),
+        key=layer_index,
+    )
+    for i, k in enumerate(lin_keys):
+        assign(p[f"lin{i}"], "kernel", t2f(torch_state[k]), k)
     return params

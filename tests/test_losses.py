@@ -110,3 +110,80 @@ def test_optimization_loss_runs_and_differentiates():
     _, d = loss_fn(renders, None, gt, mask, None, uv_xyz, uv_scales, jnp.asarray(0))
     assert float(d["local_xyz_loss"]) > 0
     assert float(d["local_scale_loss"]) > 0
+
+
+def test_lpips_conversion_forward_parity_vs_torch():
+    """Full-forward LPIPS parity vs a torch transcription of the reference's
+    lpipsPyTorch (networks.py AlexNet z_score/target_layers semantics,
+    lpips.py spatial-mean + layer-sum), with REAL torchvision key layout —
+    regression for the features.10-sorts-before-features.3 conversion bug."""
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    from guava_renderer_tpu.train.lpips import load_torch_state
+
+    torch.manual_seed(0)
+    feats = tnn.Sequential(
+        tnn.Conv2d(3, 64, 11, stride=4, padding=2), tnn.ReLU(),
+        tnn.MaxPool2d(3, stride=2),
+        tnn.Conv2d(64, 192, 5, padding=2), tnn.ReLU(),
+        tnn.MaxPool2d(3, stride=2),
+        tnn.Conv2d(192, 384, 3, padding=1), tnn.ReLU(),
+        tnn.Conv2d(384, 256, 3, padding=1), tnn.ReLU(),
+        tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+        tnn.MaxPool2d(3, stride=2),
+    ).eval()
+    for q in feats.parameters():
+        q.data = q.data * 0.2  # keep activations tame
+    lins = [tnn.Conv2d(c, 1, 1, bias=False).eval()
+            for c in (64, 192, 384, 256, 256)]
+    for q in lins:
+        q.weight.data = q.weight.data.abs() * 0.1
+
+    mean = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    std = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    target_layers = [2, 5, 8, 10, 12]  # 1-based module index, after each ReLU
+
+    def torch_lpips(x, y):
+        def stages(im):
+            h = (im - mean) / std
+            out = []
+            for i, layer in enumerate(feats, 1):
+                h = layer(h)
+                if i in target_layers:
+                    n = torch.sqrt((h**2).sum(1, keepdim=True)).clamp_min(1e-10)
+                    out.append(h / n)
+                if len(out) == 5:
+                    break
+            return out
+
+        total = 0.0
+        for fx, fy, lin in zip(stages(x), stages(y), lins):
+            total = total + lin((fx - fy) ** 2).mean((2, 3)).mean()
+        return total
+
+    # real torchvision/LPIPS key layout (conv layer ids 0,3,6,8,10; lin 0..4)
+    sd = {}
+    for i, mi in enumerate((0, 3, 6, 8, 10)):
+        conv = feats[mi]
+        sd[f"features.{mi}.weight"] = conv.weight.detach().numpy()
+        sd[f"features.{mi}.bias"] = conv.bias.detach().numpy()
+    for i, lin in enumerate(lins):
+        sd[f"lin{i}.model.1.weight"] = lin.weight.detach().numpy()
+
+    m = LPIPS(net_type="alex")
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(size=x.shape).astype(np.float32) * 0.1, 0, 1)
+    tmpl = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y))
+    params = load_torch_state(tmpl, sd)
+
+    got = float(m.apply(params, jnp.asarray(x), jnp.asarray(y)))
+    with torch.no_grad():
+        want = float(torch_lpips(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(y).permute(0, 3, 1, 2),
+        ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
