@@ -176,10 +176,29 @@ def render_set(
     saving_name: str = "render",
     max_frames: int | None = None,
     export_ply: bool = True,
+    dp_frames: bool = False,
 ) -> dict:
-    """Self-reenactment over the test frames of each video (ref: test.py:30-94)."""
+    """Self-reenactment over the test frames of each video (ref: test.py:30-94).
+
+    dp_frames=True renders frames data-parallel over all local devices
+    (one avatar, poses sharded over the mesh — see parallel/batch_render.py);
+    the reference can only render sequentially on one GPU."""
     os.makedirs(save_path, exist_ok=True)
     pipe = FramePipeline(rt, params)
+    n_dev = len(jax.devices())
+    dp_frames = dp_frames and n_dev > 1
+    if dp_frames:
+        from ..parallel.batch_render import make_batch_frame_renderer, pad_to_multiple
+        from ..parallel.mesh import data_parallel_mesh
+        from ..train.pipeline import _unpack_params as _unpack
+
+        mesh = data_parallel_mesh(n_dev)
+        brend = make_batch_frame_renderer(
+            rt.statics.renderer, rt.ehm, rt.statics.faces, _unpack,
+            image_size=int(rt.cfg.MODEL.image_size),
+            invtanfov=float(rt.cfg.MODEL.invtanfov),
+            mesh=mesh,
+        )
 
     by_video: dict[str, list[int]] = {}
     for i, key in enumerate(dataset.frames):
@@ -217,20 +236,46 @@ def render_set(
 
         frames = []
         sel = idxs if max_frames is None else idxs[:max_frames]
-        # warm-up the frame trace so the timed loop measures steady state
-        if sel:
-            pipe.render_frame(avatar, dataset[sel[0]]["target"])
-        for i in sel:
-            rec = dataset[i]
-            with speed.time_frame():
-                out = pipe.render_frame(avatar, rec["target"])
-                jax.block_until_ready(out["render"])
-            name = f"{i:06d}.png"
-            gt = np.asarray(rec["target"]["image"]) * np.asarray(rec["target"]["mask"])
-            render = np.asarray(out["render"])
-            _save_png(os.path.join(gdir, name), gt)
-            _save_png(os.path.join(rdir, name), render)
-            frames.append(np.concatenate([gt, render], axis=1))
+        if dp_frames and sel:
+            recs = [dataset[i] for i in sel]
+            tgt_params = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[_batched_params(r["target"]["params"]) for r in recs],
+            )
+            # _batched_params adds the per-record batch dim; drop it post-stack
+            tgt_params = {k: v[:, 0] for k, v in tgt_params.items()}
+            w2c = jnp.stack([jnp.asarray(r["target"]["w2c"]) for r in recs])
+            (tgt_params, w2c), n_real = pad_to_multiple((tgt_params, w2c), n_dev)
+            brend(params["renderer"], avatar, tgt_params, w2c)  # warm-up/compile
+            import time as _time
+
+            t0 = _time.time()
+            renders, _raws = brend(params["renderer"], avatar, tgt_params, w2c)
+            jax.block_until_ready(renders)
+            speed.add_frames(len(sel), _time.time() - t0)
+            for j, (i, rec) in enumerate(zip(sel, recs)):
+                name = f"{i:06d}.png"
+                gt = np.asarray(rec["target"]["image"]) * np.asarray(rec["target"]["mask"])
+                render = np.asarray(renders[j])
+                _save_png(os.path.join(gdir, name), gt)
+                _save_png(os.path.join(rdir, name), render)
+                frames.append(np.concatenate([gt, render], axis=1))
+            del n_real  # padding frames are rendered but never saved
+        else:
+            # warm-up the frame trace so the timed loop measures steady state
+            if sel:
+                pipe.render_frame(avatar, dataset[sel[0]]["target"])
+            for i in sel:
+                rec = dataset[i]
+                with speed.time_frame():
+                    out = pipe.render_frame(avatar, rec["target"])
+                    jax.block_until_ready(out["render"])
+                name = f"{i:06d}.png"
+                gt = np.asarray(rec["target"]["image"]) * np.asarray(rec["target"]["mask"])
+                render = np.asarray(out["render"])
+                _save_png(os.path.join(gdir, name), gt)
+                _save_png(os.path.join(rdir, name), render)
+                frames.append(np.concatenate([gt, render], axis=1))
         _write_video(os.path.join(scene_dir, f"{vid}_compare.mp4"), frames)
         speed.dump(os.path.join(scene_dir, "speed_info.json"))
         results[vid] = {

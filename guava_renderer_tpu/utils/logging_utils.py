@@ -74,6 +74,12 @@ class SpeedMeter:
         yield
         self._render_times.append(time.time() - t0)
 
+    def add_frames(self, n: int, total_seconds: float) -> None:
+        """Record n frames produced by ONE batched device call
+        (frames-data-parallel rendering)."""
+        if n > 0:
+            self._render_times.extend([total_seconds / n] * n)
+
     @property
     def render_fps(self) -> float:
         if not self._render_times:

@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def test(args):
     from guava_renderer_tpu.utils.platform import normalize_device_arg, pin_platform
 
-    pin_platform(args.platform or normalize_device_arg(args.devices))
+    pin_platform(args.platform or normalize_device_arg(args.devices),
+                 host_devices=args.host_devices)
 
     from guava_renderer_tpu.cli.context import (
         build_runtime,
@@ -82,7 +83,7 @@ def test(args):
         elif not args.skip_self_act:
             results = render_set(
                 rt, params, ds, save_path, saving_name=args.saving_name,
-                max_frames=args.max_frames,
+                max_frames=args.max_frames, dp_frames=args.dp_render,
             )
             print(results)
 
@@ -91,6 +92,12 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_name", "-c", default=None, type=str)
     parser.add_argument("--devices", "-d", default="0", type=str)
+    parser.add_argument("--host_devices", type=int, default=None,
+                        help="force N virtual host devices (CPU testing of "
+                             "the data-parallel paths)")
+    parser.add_argument("--dp_render", action="store_true",
+                        help="render frames data-parallel over all local "
+                             "devices (one avatar, poses sharded)")
     parser.add_argument("--bf16", action="store_true",
                         help="run the neural refiner in bfloat16 (TPU serving)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
