@@ -32,6 +32,19 @@ def build_scene(P=96, C=32, size=64, seed=1234):
                 quats=quats, bg=bg, size=np.asarray(size), tanfov=np.asarray(0.5))
 
 
+def build_mesh_scene(n=14, size=64, seed=77):
+    rng = np.random.default_rng(seed)
+    verts = rng.uniform(-0.8, 0.8, (n * n, 3)).astype(np.float32)
+    verts[:, 2] = rng.uniform(2.0, 4.0, n * n)
+    # grid triangulation over the random points for deterministic topology
+    idx = np.arange(n * n).reshape(n, n)
+    f1 = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:]], -1).reshape(-1, 3)
+    f2 = np.stack([idx[1:, :-1], idx[1:, 1:], idx[:-1, 1:]], -1).reshape(-1, 3)
+    faces = np.concatenate([f1, f2]).astype(np.int32)
+    return dict(verts=verts, faces=faces, size=np.asarray(size),
+                tanfov=np.asarray(0.6))
+
+
 def main():
     from guava_renderer_tpu.utils.platform import pin_platform
 
@@ -59,6 +72,29 @@ def main():
     np.savez_compressed(path, **out)
     print(f"wrote {os.path.abspath(path)}: color {out['color'].shape}, "
           f"mean {out['color'].mean():.5f}")
+
+    # mesh z-buffer anchor: the Pallas kernel IS the source here (it has its
+    # own numpy-oracle tests); the committed artifact pins cross-round drift
+    from guava_renderer_tpu.ops.meshraster import rasterize_mesh
+
+    ms = build_mesh_scene()
+    mcam = Camera(
+        R=jnp.eye(3), t=jnp.zeros(3),
+        tanfovx=jnp.asarray(float(ms["tanfov"])), tanfovy=jnp.asarray(float(ms["tanfov"])),
+        width=int(ms["size"]), height=int(ms["size"]),
+    )
+    res = rasterize_mesh(jnp.asarray(ms["verts"]), jnp.asarray(ms["faces"]), mcam)
+    mout = dict(ms)
+    mout.update(
+        face_idx=np.asarray(res.face_idx),
+        bary=np.asarray(res.bary),
+        depth=np.asarray(res.depth),
+    )
+    mpath = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                         "meshraster_scene_v1.npz")
+    np.savez_compressed(mpath, **mout)
+    cov = float((mout["face_idx"] >= 0).mean())
+    print(f"wrote {os.path.abspath(mpath)}: coverage {cov:.3f}")
 
 
 if __name__ == "__main__":
