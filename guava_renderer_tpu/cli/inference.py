@@ -246,11 +246,11 @@ def render_set(
             tgt_params = {k: v[:, 0] for k, v in tgt_params.items()}
             w2c = jnp.stack([jnp.asarray(r["target"]["w2c"]) for r in recs])
             (tgt_params, w2c), n_real = pad_to_multiple((tgt_params, w2c), n_dev)
-            brend(params["renderer"], avatar, tgt_params, w2c)  # warm-up/compile
+            brend(pipe.params["renderer"], avatar, tgt_params, w2c)  # warm-up/compile
             import time as _time
 
             t0 = _time.time()
-            renders, _raws = brend(params["renderer"], avatar, tgt_params, w2c)
+            renders, _raws = brend(pipe.params["renderer"], avatar, tgt_params, w2c)
             jax.block_until_ready(renders)
             speed.add_frames(len(sel), _time.time() - t0)
             for j, (i, rec) in enumerate(zip(sel, recs)):
