@@ -84,6 +84,8 @@ class GaussianRenderer(nn.Module):
     image_size: int = 512
     channel_scale: float = 1.0
     small: bool = True
+    style_dim: int = 512
+    num_mlp: int = 8
     settings: RasterizeSettings = RasterizeSettings()
     refiner_size: int | None = None
     # serving lever: run the refiner in bfloat16 (cast in, cast out; caller
@@ -129,6 +131,8 @@ class GaussianRenderer(nn.Module):
             image_size=rsize,
             channel_scale=self.channel_scale,
             small=self.small,
+            style_dim=self.style_dim,
+            num_mlp=self.num_mlp,
             name="neural_refiner",
         )(refiner_in, rng=rng)
         renders = renders.astype(jnp.float32)

@@ -128,6 +128,8 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         image_size=m.image_size,
         channel_scale=float(rcfg.get("channel_scale", 1)) if rcfg else 1.0,
         small=bool(rcfg.get("small", True)) if rcfg else True,
+        style_dim=int(rcfg.get("num_style_feat", 512)) if rcfg else 512,
+        num_mlp=int(rcfg.get("num_mlp", 8)) if rcfg else 8,
         settings=settings,
         # refiner trained at styleunet.out_size; differs from image_size in
         # multi-res render_motion (--image_size 720/1080/2048)

@@ -53,6 +53,9 @@ def make_models(
         image_size=cfg.image_size,
         channel_scale=refiner_channel_scale,
         small=True,
+        # the reference uses one style config for both StyleUNets
+        style_dim=cfg.style_dim,
+        num_mlp=cfg.num_mlp,
         settings=raster_settings,
     )
     return inferer, renderer
