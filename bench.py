@@ -27,24 +27,56 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 60.0
 
+# Peak specs by device_kind substring (bf16 MXU FLOP/s, HBM bytes/s).
+# MFU is reported against the bf16 peak by convention even where the
+# rasterizer runs f32 compositing.
+_PEAKS = (
+    ("v5 lite", 197e12, 819e9),
+    ("v5litepod", 197e12, 819e9),
+    ("v5e", 197e12, 819e9),
+    ("v5p", 459e12, 2765e9),
+    ("v6e", 918e12, 1640e9),
+    ("v6 lite", 918e12, 1640e9),
+    ("v4", 275e12, 1228e9),
+)
 
-def emit(metric: str, value: float, unit: str = "fps"):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 2),
-                "unit": unit,
-                "vs_baseline": round(value / BASELINE_FPS, 3),
-            }
-        ),
-        flush=True,
-    )
+
+def device_peaks(kind: str):
+    k = kind.lower()
+    for sub, flops, bw in _PEAKS:
+        if sub in k:
+            return flops, bw
+    return None, None
+
+
+def emit(metric: str, value: float, unit: str = "fps", **extra):
+    rec = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / BASELINE_FPS, 3),
+    }
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _total_cost(fn, *args):
+    """(flops, bytes accessed) from XLA cost analysis of jit(fn)(*args).
+
+    Pallas custom calls are NOT counted by XLA — the rasterizer's blend
+    FLOPs are estimated separately from the binning stats.
+    """
+    compiled = fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
 def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               chunk: int, tpg: int, repeats: int,
-              body_side: int = 101, bf16: bool = False) -> tuple[float, int]:
+              body_side: int = 101, bf16: bool = False,
+              cost: bool = True) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -168,7 +200,149 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
         r = float(run(rep))
         dt = (time.time() - t0) / frames
         best = max(best, 1.0 / dt)
-    return best, V + n_valid
+
+    stats = {
+        "fps": best,
+        "P": V + n_valid,
+        "device": jax.devices()[0].device_kind,
+    }
+    if not cost:
+        return stats
+
+    # --- FLOPs / bytes accounting (VERDICT r2 item 2) ---------------------
+    # XLA counts everything except the Pallas blend custom-call; the blend's
+    # work is modelled from the REAL binning of the frame-0 geometry
+    # (instances padded to the kernel's chunk granularity x tile^2 pixels x
+    # ~80 flops: conic eval + exp + 33-channel MAC + transmittance update).
+    from guava_renderer_tpu.ops.gsplat import (
+        _CCH,
+        _PK,
+        ALPHA_MIN,
+        bin_gaussians,
+    )
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    xla_flops, xla_bytes = _total_cost(jax.jit(frame), 0.0)
+
+    res0 = ehm_forward(ehm, base_body, base_flame)
+    g0 = deform_with_vertices(avatar, res0.vertices, res0.vertex_transforms, faces)
+    proj = project_gaussians(
+        g0.xyz[0], g0.scaling[0], g0.rotation[0], g0.opacity[0], cam,
+        settings.scale_modifier, settings.antialiasing,
+    )
+    contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
+    ranges, _, num_valid = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius, contributing, size, size, settings,
+    )
+    lens = np.diff(np.asarray(ranges))
+    padded = ((lens + chunk - 1) // chunk) * chunk
+    inst_padded = int(padded.sum())
+    num_tiles = (size // tile) ** 2
+    raster_flops = float(inst_padded) * tile * tile * 80.0
+    # packed-row reads + tile accumulator write-back (f32)
+    raster_bytes = float(inst_padded) * _PK * 4 + num_tiles * tile * tile * _CCH * 4 * 2
+
+    stats.update(
+        instances=int(np.asarray(num_valid)),
+        instances_padded=inst_padded,
+        xla_flops=xla_flops,
+        raster_flops=raster_flops,
+        flops_per_frame=xla_flops + raster_flops,
+        bytes_per_frame=xla_bytes + raster_bytes,
+    )
+    return stats
+
+
+def run_infer_bench(platform: str, size: int = 512, uv: int = 512,
+                    feat_size: int = 518, body_side: int = 101,
+                    frames: int = 2, repeats: int = 3,
+                    cost: bool = True) -> dict:
+    """Avatar-creation latency: the one-shot DINO+DPT+StyleUNet+decoder path
+    (ref README.md:37 'sub-second'; call stack SURVEY §3.2). Full-scale
+    synthetic rig + randomly initialized full-size weights — latency depends
+    on shapes, not values."""
+    from guava_renderer_tpu.utils.platform import pin_platform
+
+    pin_platform(platform)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from guava_renderer_tpu.avatar.inferer import (
+        InfererConfig,
+        UbodyGaussianInferer,
+        build_avatar,
+    )
+    from guava_renderer_tpu.bodymodel import synthetic_ehm
+    from guava_renderer_tpu.bodymodel.ehm import BodyParams, EhmModel, FlameParams
+
+    smplx, flame_m, extras = synthetic_ehm(
+        body_side=body_side, head_side=15, uv_size=uv, n_shape=50, n_exp=20
+    )
+    ehm = EhmModel.build(smplx, flame_m, extras)
+    faces = jnp.asarray(smplx.faces)
+    cfg = InfererConfig(image_size=size, uvmap_size=uv)
+    inferer = UbodyGaussianInferer(cfg=cfg, num_vertices=smplx.num_vertices)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (1, feat_size, feat_size, 3)), jnp.float32)
+    w2c_np = np.eye(4, dtype=np.float32)
+    w2c_np[2, 3] = 30.0
+    w2c = jnp.asarray(w2c_np)[None]
+    body = BodyParams(
+        shape=jnp.zeros((1, smplx.n_shape)),
+        body_pose=jnp.zeros((1, 21, 3)),
+    )
+    flame = FlameParams(
+        shape=jnp.zeros((1, smplx.n_shape)),
+        exp=jnp.zeros((1, smplx.n_exp)),
+        jaw=jnp.zeros((1, 3)),
+    )
+
+    from guava_renderer_tpu.bodymodel.ehm import ehm_forward
+
+    verts0 = ehm_forward(ehm, body, flame).vertices
+    params = jax.jit(inferer.init)(
+        jax.random.PRNGKey(0), image, w2c, verts0,
+        jnp.asarray(extras.uvmap_mask, jnp.float32)[None],
+        jnp.asarray(extras.uvmap_f_idx),
+        jnp.asarray(extras.uvmap_f_bary),
+        faces,
+    )
+
+    f_idx = jnp.asarray(extras.uvmap_f_idx)
+    f_bary = jnp.asarray(extras.uvmap_f_bary)
+    mask = jnp.asarray(extras.uvmap_mask)
+
+    def create(im):
+        avatar, _ = build_avatar(
+            inferer, params, ehm, faces, f_idx, f_bary, mask,
+            im, w2c, body, flame, image_size=size, invtanfov=24.0,
+        )
+        return (
+            jnp.sum(avatar.uv_colors) + jnp.sum(avatar.vtx_scales)
+            + jnp.sum(avatar.uv_local_xyz)
+        )
+
+    @jax.jit
+    def run(seed):
+        def body_fn(i, acc):
+            return acc + create(image + acc * 1e-12 + 0.0 * i)
+        return jax.lax.fori_loop(0, frames, body_fn, jnp.float32(seed) * 0.0)
+
+    float(run(0))  # compile + warm up
+    best_ms = float("inf")
+    for rep in range(1, repeats + 1):
+        t0 = time.time()
+        float(run(rep))
+        best_ms = min(best_ms, (time.time() - t0) * 1000.0 / frames)
+
+    stats = {"infer_ms": best_ms}
+    if cost:
+        fl, by = _total_cost(jax.jit(create), image)
+        stats.update(infer_flops=fl, infer_bytes=by)
+    return stats
 
 
 def main():
@@ -187,6 +361,10 @@ def main():
     ap.add_argument("--skip-probe", action="store_true")
     ap.add_argument("--probe-attempts", type=int, default=2)
     ap.add_argument("--probe-timeout", type=float, default=150.0)
+    ap.add_argument("--skip-infer", action="store_true",
+                    help="skip the avatar-creation latency bench")
+    ap.add_argument("--skip-cost", action="store_true",
+                    help="skip XLA cost analysis (saves one compile each)")
     args = ap.parse_args()
     platform = "axon" if args.platform == "tpu" else args.platform
 
@@ -205,16 +383,50 @@ def main():
             )
             return
 
-    fps, P = run_bench(
+    stats = run_bench(
         platform, args.frames, args.size, args.uv,
         args.tile, args.chunk, args.tpg, args.repeats,
-        body_side=args.body_side, bf16=args.bf16,
+        body_side=args.body_side, bf16=args.bf16, cost=not args.skip_cost,
     )
+    fps = stats["fps"]
+
+    extra = {"fps": round(fps, 2), "device": stats.get("device", "?")}
+    peak_flops, peak_bw = device_peaks(stats.get("device", ""))
+    if "flops_per_frame" in stats:
+        extra["flops_per_frame"] = stats["flops_per_frame"]
+        extra["instances"] = stats["instances"]
+        if peak_flops:
+            extra["mfu"] = round(fps * stats["flops_per_frame"] / peak_flops, 5)
+            extra["pct_peak_bw"] = round(
+                100.0 * fps * stats["bytes_per_frame"] / peak_bw, 2
+            )
+
+    if not args.skip_infer:
+        try:
+            istats = run_infer_bench(
+                platform, size=args.size, uv=args.uv,
+                body_side=args.body_side, cost=not args.skip_cost,
+            )
+            extra["infer_ms"] = round(istats["infer_ms"], 1)
+            if "infer_flops" in istats and peak_flops:
+                extra["infer_flops"] = istats["infer_flops"]
+                extra["infer_mfu"] = round(
+                    istats["infer_flops"]
+                    / (istats["infer_ms"] / 1000.0) / peak_flops,
+                    5,
+                )
+        except Exception:
+            import traceback as tb
+
+            tb.print_exc()
+            extra["infer_ms"] = None
+
     emit(
-        f"self-reenactment render FPS @{args.size}px, P={P} gaussians, "
+        f"self-reenactment render FPS @{args.size}px, P={stats['P']} gaussians, "
         f"tile={args.tile} chunk={args.chunk} tpg={args.tpg} (parity config"
         f"{', bf16 refiner' if args.bf16 else ''}), {platform} chip",
         fps,
+        **extra,
     )
 
 

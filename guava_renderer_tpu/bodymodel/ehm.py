@@ -55,8 +55,12 @@ class FlameParams(NamedTuple):
     shape: jnp.ndarray                      # (B, <=n_shape)
     exp: jnp.ndarray                        # (B, n_exp)
     jaw: jnp.ndarray                        # (B, 3)
-    eyes: jnp.ndarray | None = None         # (B, 6) [right? left?] — ref order: eye_pose_params
-    eyelids: jnp.ndarray | None = None      # (B, 2) [left, right]
+    # (B, 6) [left(0:3), right(3:6)] axis-angle: channels feed FLAME joints
+    # 3/4, which the EHM graft aligns with SMPL-X left_eye_smplx(23)/
+    # right_eye_smplx(24) (ref: EHM.py:24-28,63, SMPLX.py:33); golden-tested
+    # in tests/test_ehm_eyes.py.
+    eyes: jnp.ndarray | None = None
+    eyelids: jnp.ndarray | None = None      # (B, 2) [left, right] (ref: EHM.py:73-74)
 
 
 class EhmResult(NamedTuple):

@@ -47,7 +47,14 @@ class VertexGSDecoder(nn.Module):
         opacities = nn.sigmoid(head("opacity", 1))
         scales = nn.sigmoid(head("scale", 3)) * self.scale_max
         rot = head("rotation", 4)
-        rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+        # Reference quirk (caught by tests/test_reference_parity.py): torch
+        # F.normalize's DEFAULT dim=1 normalizes across the VERTEX axis of
+        # the (B, V, 4) tensor, not the quaternion axis (ref:
+        # feature_decoder.py:55). The trained weights learned through this,
+        # and the deformer re-normalizes per-quat only AFTER composing with
+        # the deform quat (ref: ubody_gaussian.py:254), so the direction skew
+        # is semantic — mirror it exactly.
+        rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=1, keepdims=True), 1e-12)
         return {
             "colors": colors,
             "opacities": opacities,

@@ -61,9 +61,12 @@ ALPHA_MAX = 0.99
 T_MIN = 1e-4
 
 
+_FORCE_INTERPRET = False  # diagnostics: compare interpret vs compiled on-chip
+
+
 def _interpret() -> bool:
     """Run Pallas in interpreter mode off-TPU (tests on the CPU backend)."""
-    return jax.default_backend() != "tpu"
+    return _FORCE_INTERPRET or jax.default_backend() != "tpu"
 
 
 class RasterizeSettings(NamedTuple):

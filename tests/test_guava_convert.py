@@ -313,7 +313,9 @@ def test_vertex_decoder_conversion_parity():
                 "colors": self.color_layers(f),
                 "opacities": torch.sigmoid(self.opacity_layers(f)),
                 "scales": torch.sigmoid(self.scale_layers(f)) * 0.05,
-                "rotations": tF.normalize(self.rotation_layers(f), dim=-1),
+                # reference default dim=1: normalize across vertices
+                # (feature_decoder.py:55; see test_reference_parity.py)
+                "rotations": tF.normalize(self.rotation_layers(f), dim=1),
             }
 
     tm = TVert().eval()

@@ -60,11 +60,13 @@ def main():
     for label, kw in variants:
         t0 = time.time()
         try:
-            fps, P = run_bench(
+            stats = run_bench(
                 platform, args.frames, args.size, args.uv,
                 kw["tile"], kw["chunk"], kw["tpg"], args.repeats,
                 body_side=args.body_side, bf16=kw["bf16"],
+                cost=False,  # sweep measures FPS only; bench.py owns MFU
             )
+            fps, P = stats["fps"], stats["P"]
         except Exception:
             traceback.print_exc()
             fps, P = 0.0, 0

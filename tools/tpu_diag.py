@@ -1,0 +1,441 @@
+"""On-chip failure triage for the round-2 window findings.
+
+Round-2 window evidence (outputs/bench/tpu_window_20260816_195357):
+  1. CROSSCHECK FAIL: compiled blend kernel color differs from the committed
+     golden/interpret render by 1.4e-2 max (radii exact, so projection and
+     binning agree — the diff is inside or after the Pallas blend).
+  2. The 512^2 parity bench burns ~850 s then dies with `TPU backend error
+     (Internal)` — and the failure WEDGES the in-process TPU client (every
+     later device_put fails instantly). Small scenes run fine.
+
+Prime suspects for (2): the global `lax.sort` over P*tpg = 2.18M instances
+in bin_gaussians, and the (2.18M, 128) f32 packed gather. This script times
+each pipeline stage separately at full scale, each stage in its OWN
+SUBPROCESS so a wedge can't poison the rest.
+
+    python tools/tpu_diag.py                 # all stages, subprocess each
+    python tools/tpu_diag.py --stage golden  # one stage in-process
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                      "raster_scene_v1.npz")
+
+STAGES = [
+    "golden",        # compiled vs interpret vs golden, diff maps
+    "project",       # full-scale projection alone
+    "bin",           # binning (the big sort) alone
+    "gather",        # packed gather alone
+    "blend",         # Pallas blend alone (fixed binning inputs)
+    "raster1",       # one full rasterize call
+    "loop_noref",    # 3-frame loop without refiner
+    "refiner",       # refiner-only loop
+    "full",          # 3-frame full loop (bench.py shape)
+]
+
+
+# --------------------------------------------------------------------------
+# shared scene builders
+# --------------------------------------------------------------------------
+
+def build_scene(size=512, uv=512, body_side=101):
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.avatar.deformer import deform_with_vertices
+    from guava_renderer_tpu.avatar.state import GaussianAvatar
+    from guava_renderer_tpu.bodymodel import synthetic_ehm
+    from guava_renderer_tpu.bodymodel.ehm import (
+        BodyParams, EhmModel, FlameParams, ehm_forward,
+    )
+    from guava_renderer_tpu.core.cameras import Camera
+    from guava_renderer_tpu.ops.gsplat import RasterizeSettings
+
+    smplx, flame_m, extras = synthetic_ehm(
+        body_side=body_side, head_side=15, uv_size=uv, n_shape=50, n_exp=20)
+    ehm = EhmModel.build(smplx, flame_m, extras)
+    faces = jnp.asarray(smplx.faces)
+    V = smplx.num_vertices
+    N_uv = uv * uv
+    rng = np.random.default_rng(0)
+
+    def mk(shape, lo, hi):
+        return jnp.asarray(rng.uniform(lo, hi, shape), jnp.float32)
+
+    quats = rng.normal(size=(1, V, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    uv_quats = rng.normal(size=(1, N_uv, 4)).astype(np.float32)
+    uv_quats /= np.linalg.norm(uv_quats, axis=-1, keepdims=True)
+    avatar = GaussianAvatar(
+        vtx_positions=jnp.asarray(smplx.v_template)[None],
+        vtx_colors=mk((1, V, 32), 0, 1), vtx_opacity=mk((1, V, 1), 0.3, 0.95),
+        vtx_scales=mk((1, V, 3), 0.002, 0.01), vtx_rotations=jnp.asarray(quats),
+        uv_local_xyz=mk((1, N_uv, 3), -0.5, 0.5), uv_colors=mk((1, N_uv, 32), 0, 1),
+        uv_opacity=mk((1, N_uv, 1), 0.3, 0.95), uv_scales=mk((1, N_uv, 3), 0.05, 0.3),
+        uv_rotations=jnp.asarray(uv_quats),
+        uv_binding_face=jnp.asarray(extras.uvmap_f_idx.reshape(-1)),
+        uv_face_bary=jnp.asarray(extras.uvmap_f_bary.reshape(-1, 3)),
+        uv_valid=jnp.asarray(extras.uvmap_mask.reshape(-1)),
+    )
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 30.0
+    cam = Camera(R=jnp.asarray(w2c[:3, :3]), t=jnp.asarray(w2c[:3, 3]),
+                 tanfovx=jnp.asarray(1.0 / 24.0), tanfovy=jnp.asarray(1.0 / 24.0),
+                 width=size, height=size)
+    settings = RasterizeSettings(tile=16, chunk=32, max_tiles_per_gaussian=8)
+    base_body = BodyParams(shape=jnp.zeros((1, smplx.n_shape)),
+                           body_pose=jnp.zeros((1, 21, 3)))
+    base_flame = FlameParams(shape=jnp.zeros((1, smplx.n_shape)),
+                             exp=jnp.zeros((1, smplx.n_exp)), jaw=jnp.zeros((1, 3)))
+    res = ehm_forward(ehm, base_body, base_flame)
+    gs = deform_with_vertices(avatar, res.vertices, res.vertex_transforms, faces)
+    return dict(ehm=ehm, faces=faces, avatar=avatar, cam=cam, settings=settings,
+                base_body=base_body, base_flame=base_flame, gs=gs,
+                ehm_forward=ehm_forward, deform=deform_with_vertices, size=size)
+
+
+def _timeit(label, fn, *args, reps=3):
+    t0 = time.time()
+    out = fn(*args)
+    # force
+    import jax
+    jax.tree_util.tree_map(
+        lambda x: np.asarray(x).ravel()[:1] if hasattr(x, "shape") else x, out)
+    t_compile = time.time() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(x).ravel()[:1] if hasattr(x, "shape") else x, out)
+        best = min(best, time.time() - t0)
+    print(f"[{label}] compile+first={t_compile:.1f}s steady={best*1000:.1f}ms",
+          flush=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# stages
+# --------------------------------------------------------------------------
+
+def stage_golden(out_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.core.cameras import Camera
+    from guava_renderer_tpu.ops import gsplat
+    from guava_renderer_tpu.ops.gsplat import RasterizeSettings, rasterize
+
+    s = np.load(GOLDEN)
+    cam = Camera(
+        R=jnp.eye(3), t=jnp.zeros(3),
+        tanfovx=jnp.asarray(float(s["tanfov"])),
+        tanfovy=jnp.asarray(float(s["tanfov"])),
+        width=int(s["size"]), height=int(s["size"]),
+    )
+    inputs = tuple(
+        jnp.asarray(s[k]) for k in ("means", "colors", "opacity", "scales", "quats")
+    )
+    settings = RasterizeSettings(tile=16, chunk=32, max_tiles_per_gaussian=8)
+    fn = jax.jit(lambda *a: rasterize(*a, cam, jnp.asarray(s["bg"]), settings))
+    color_c, radii_c, invd_c = map(np.asarray, fn(*inputs))
+
+    gsplat._FORCE_INTERPRET = True
+    try:
+        color_i, radii_i, invd_i = map(np.asarray, jax.jit(
+            lambda *a: rasterize(*a, cam, jnp.asarray(s["bg"]), settings)
+        )(*inputs))
+    finally:
+        gsplat._FORCE_INTERPRET = False
+
+    def report(tag, a, b):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        n_bad = int((d > 2e-4).sum())
+        line = f"  {tag}: max={d.max():.3e} mean={d.mean():.3e} n>2e-4={n_bad}/{d.size}"
+        if d.max() > 0:
+            idx = np.unravel_index(np.argmax(d), d.shape)
+            line += f" argmax@{idx} a={np.asarray(a)[idx]:.6f} b={np.asarray(b)[idx]:.6f}"
+        print(line, flush=True)
+        return d
+
+    print("[golden] compiled vs golden:")
+    d_cg = report("color", color_c, s["color"])
+    report("invd", invd_c, s["invdepth"])
+    print("[golden] compiled vs interpret(on-device):")
+    report("color", color_c, color_i)
+    print("[golden] interpret(on-device) vs golden:")
+    report("color", color_i, s["color"])
+
+    size = int(s["size"])
+    t = 16
+    dmax_img = d_cg.max(axis=0)
+    tiles = dmax_img.reshape(size // t, t, size // t, t).max(axis=(1, 3))
+    ys, xs = np.nonzero(tiles > 2e-4)
+    print(f"[golden] tiles with diff>2e-4: {len(ys)} -> "
+          f"{list(zip(ys.tolist(), xs.tolist()))[:12]}", flush=True)
+    np.savez_compressed(
+        os.path.join(out_dir, "stage_golden_diff.npz"),
+        color_compiled=color_c, color_interp=color_i,
+        invd_compiled=invd_c, invd_interp=invd_i,
+    )
+
+
+def stage_project(sc):
+    import jax
+
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    gs, cam, st = sc["gs"], sc["cam"], sc["settings"]
+    fn = jax.jit(lambda x, s, q, o: project_gaussians(
+        x, s, q, o, cam, st.scale_modifier, st.antialiasing))
+    _timeit("project P=272k", fn, gs.xyz[0], gs.scaling[0], gs.rotation[0],
+            gs.opacity[0])
+
+
+def _proj_bin_inputs(sc):
+    import jax
+
+    from guava_renderer_tpu.ops.gsplat import ALPHA_MIN
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    gs, cam, st = sc["gs"], sc["cam"], sc["settings"]
+    proj = jax.jit(lambda x, s, q, o: project_gaussians(
+        x, s, q, o, cam, st.scale_modifier, st.antialiasing))(
+        gs.xyz[0], gs.scaling[0], gs.rotation[0], gs.opacity[0])
+    import jax.numpy as jnp
+
+    contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
+    return proj, contributing
+
+
+def stage_bin(sc):
+    import jax
+
+    from guava_renderer_tpu.ops.gsplat import bin_gaussians
+
+    proj, contributing = _proj_bin_inputs(sc)
+    size, st = sc["size"], sc["settings"]
+    fn = jax.jit(lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))
+    ranges, order, nv = _timeit(
+        "bin (sort of P*tpg=2.18M)", fn,
+        proj.mean2d, proj.depth, proj.radius, contributing)
+    print(f"[bin] num_valid instances = {int(np.asarray(nv))}", flush=True)
+
+
+def stage_gather(sc):
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.ops.gsplat import _PK, bin_gaussians
+
+    proj, contributing = _proj_bin_inputs(sc)
+    size, st = sc["size"], sc["settings"]
+    ranges, order, nv = jax.jit(
+        lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))(
+        proj.mean2d, proj.depth, proj.radius, contributing)
+    P = proj.mean2d.shape[0]
+    per_gauss = jnp.zeros((P, _PK), jnp.float32)
+    fn = jax.jit(lambda pg, o: pg[o])
+    _timeit(f"gather ({order.shape[0]}, {_PK}) f32", fn, per_gauss, order)
+
+
+def stage_blend(sc):
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.ops.gsplat import _CCH, _PK, bin_gaussians, blend_tiles
+
+    proj, contributing = _proj_bin_inputs(sc)
+    size, st = sc["size"], sc["settings"]
+    ranges, order, nv = jax.jit(
+        lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))(
+        proj.mean2d, proj.depth, proj.radius, contributing)
+    P = proj.mean2d.shape[0]
+    rng = np.random.default_rng(1)
+    per_gauss = jnp.asarray(rng.uniform(0, 0.5, (P, _PK)), jnp.float32)
+    packed = per_gauss[order]
+    G = st.chunk
+    pad_rows = ((packed.shape[0] + G - 1) // G + 1) * G - packed.shape[0]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((pad_rows, _PK), jnp.float32)], axis=0)
+    bg = jnp.zeros(_CCH)
+    fn = jax.jit(lambda p, r: blend_tiles(p, r, bg, size, size, st.tile, st.chunk))
+    _timeit("blend kernel alone", fn, packed, ranges)
+
+
+def stage_raster1(sc):
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.ops.gsplat import rasterize
+
+    gs, cam, st = sc["gs"], sc["cam"], sc["settings"]
+
+    @jax.jit
+    def once(xyz, colors, opac, scales, rots):
+        c, r, i = rasterize(xyz, colors, opac, scales, rots, cam,
+                            jnp.zeros(32), st)
+        return jnp.sum(c), jnp.max(r), jnp.sum(i)
+
+    out = _timeit("rasterize 512^2 full", once, gs.xyz[0], gs.colors[0],
+                  gs.opacity[0], gs.scaling[0], gs.rotation[0])
+    print(f"[raster1] sum={float(out[0]):.4f} rmax={float(out[1]):.0f}",
+          flush=True)
+
+
+def stage_loop_noref(sc, frames=3):
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.ops.gsplat import rasterize
+
+    def frame(pose_scale):
+        body = sc["base_body"]._replace(
+            body_pose=sc["base_body"].body_pose + pose_scale * 0.01)
+        res = sc["ehm_forward"](sc["ehm"], body, sc["base_flame"])
+        gs = sc["deform"](sc["avatar"], res.vertices, res.vertex_transforms,
+                          sc["faces"])
+        c, _, _ = rasterize(gs.xyz[0], gs.colors[0], gs.opacity[0],
+                            gs.scaling[0], gs.rotation[0],
+                            sc["cam"], jnp.zeros(32), sc["settings"])
+        return jnp.sum(c)
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(
+            0, frames, lambda i, acc: acc + frame(acc * 1e-12 + i), x)
+
+    _timeit(f"{frames}-frame loop noref", run, 0.0, reps=2)
+
+
+def stage_refiner(sc, frames=5):
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.avatar.renderer import NeuralRefiner
+
+    size = sc["size"]
+    refiner = NeuralRefiner(image_size=size, small=True)
+    feat0 = jnp.zeros((1, size, size, 32))
+    ref_params = refiner.init(jax.random.PRNGKey(0), feat0)
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            rgb = refiner.apply(ref_params, feat0 + acc * 1e-12 + 0.0 * i)
+            return acc + jnp.sum(rgb)
+        return jax.lax.fori_loop(0, frames, body, x)
+
+    _timeit(f"refiner-only x{frames}", run, jnp.float32(0), reps=2)
+
+
+def stage_full(sc, frames=3):
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.avatar.renderer import NeuralRefiner
+    from guava_renderer_tpu.ops.gsplat import rasterize
+
+    size = sc["size"]
+    refiner = NeuralRefiner(image_size=size, small=True)
+    feat0 = jnp.zeros((1, size, size, 32))
+    ref_params = refiner.init(jax.random.PRNGKey(0), feat0)
+
+    def frame(pose_scale):
+        body = sc["base_body"]._replace(
+            body_pose=sc["base_body"].body_pose + pose_scale * 0.01)
+        res = sc["ehm_forward"](sc["ehm"], body, sc["base_flame"])
+        gs = sc["deform"](sc["avatar"], res.vertices, res.vertex_transforms,
+                          sc["faces"])
+        c, _, _ = rasterize(gs.xyz[0], gs.colors[0], gs.opacity[0],
+                            gs.scaling[0], gs.rotation[0],
+                            sc["cam"], jnp.zeros(32), sc["settings"])
+        rgb = refiner.apply(ref_params, jnp.transpose(c, (1, 2, 0))[None])
+        return jnp.sum(rgb.astype(jnp.float32))
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(
+            0, frames, lambda i, acc: acc + frame(acc * 1e-12 + i), x)
+
+    out = _timeit(f"{frames}-frame FULL loop", run, 0.0, reps=2)
+    print(f"[full] r={float(out):.4f}", flush=True)
+
+
+def run_stage(name, out_dir, platform):
+    from guava_renderer_tpu.utils.platform import pin_platform
+
+    pin_platform(platform)
+    if name == "golden":
+        stage_golden(out_dir)
+        return
+    sc = build_scene()
+    {
+        "project": stage_project,
+        "bin": stage_bin,
+        "gather": stage_gather,
+        "blend": stage_blend,
+        "raster1": stage_raster1,
+        "loop_noref": stage_loop_noref,
+        "refiner": stage_refiner,
+        "full": stage_full,
+    }[name](sc)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default=None, choices=STAGES)
+    ap.add_argument("--stages", default=",".join(STAGES))
+    ap.add_argument("--out", default="outputs/bench/tpu_diag")
+    ap.add_argument("--platform", default="axon")
+    ap.add_argument("--stage-timeout", type=float, default=900.0)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.stage:
+        # child mode: one stage in-process
+        try:
+            run_stage(args.stage, args.out, args.platform)
+        except Exception:
+            print(f"[{args.stage}] FAILED:", flush=True)
+            traceback.print_exc()
+            sys.exit(1)
+        return
+
+    from guava_renderer_tpu.utils.platform import probe_backend
+
+    if args.platform == "axon":
+        ok, detail = probe_backend("axon", timeout_s=120)
+        if not ok:
+            print(f"DIAG SKIPPED: backend unavailable ({detail})")
+            sys.exit(2)
+
+    for name in args.stages.split(","):
+        print(f"===== stage {name} =====", flush=True)
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", name, "--out", args.out,
+                 "--platform", args.platform],
+                timeout=args.stage_timeout,
+            )
+            status = f"exit={r.returncode}"
+        except subprocess.TimeoutExpired:
+            status = "TIMEOUT"
+        print(f"===== stage {name}: {status} ({time.time()-t0:.0f}s) =====",
+              flush=True)
+    print("[diag] done")
+
+
+if __name__ == "__main__":
+    main()
