@@ -280,7 +280,11 @@ def _fwd_kernel(
         E = jnp.where(row0, T, pltpu.roll(P_incl, 1, axis=0))
         w = jnp.where(live, at * E, 0.0)
 
-        # (CCH, PIX) += colors^T @ w  — MXU
+        # (CCH, PIX) += colors^T @ w  — MXU. Default (bf16-input) precision
+        # is deliberate: f32 accumulate keeps the transmittance math exact,
+        # and the ~3e-3 relative color rounding measures PSNR 63 dB vs the
+        # f32 CPU oracle (outputs/bench/tpu_diag_r3a) — far inside the
+        # 0.5 dB budget — at 1/6th the MXU passes of HIGHEST.
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             colors, w,
             dimension_numbers=(((0,), (0,)), ((), ())),

@@ -66,6 +66,17 @@ def quat_scale_to_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)
 
 
+def mark_visible(means3d: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """Standalone frustum pre-cull: (P, 3) -> (P,) bool.
+
+    API parity with GaussianRasterizer_32.markVisible (ref:
+    diff_gaussian_rasterization_32/__init__.py:158-172), whose CUDA
+    in_frustum test reduces to camera-space z > 0.2 — the NDC bounds check
+    is commented out upstream (ref: auxiliary.h:166)."""
+    p_view = means3d @ cam.R.T + cam.t
+    return p_view[:, 2] > NEAR_CULL_Z
+
+
 def project_gaussians(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,
@@ -78,15 +89,18 @@ def project_gaussians(
     P = means3d.shape[0]
     opacities = opacities.reshape(P)
 
-    # camera space + near cull
-    p_view = means3d @ cam.R.T + cam.t
+    # camera space + near cull. Geometry matmuls pin HIGHEST precision: the
+    # TPU default computes f32 matmuls with bf16 passes, and position error
+    # amplifies through conic/alpha into ~1e-2 color diffs (measured in the
+    # r3 on-chip golden diff, outputs/bench/tpu_diag_r3a).
+    p_view = jnp.matmul(means3d, cam.R.T, precision=_HI) + cam.t
     tz = p_view[:, 2]
     in_front = tz > NEAR_CULL_Z
 
     # NDC -> pixel center
     full = cam.full_proj_matrix()
-    hom = means3d @ full[:3, :3].T + full[:3, 3]
-    w = means3d @ full[3, :3] + full[3, 3]
+    hom = jnp.matmul(means3d, full[:3, :3].T, precision=_HI) + full[:3, 3]
+    w = jnp.matmul(means3d, full[3, :3], precision=_HI) + full[3, 3]
     inv_w = 1.0 / (w + 1e-7)
     mean2d = jnp.stack(
         [

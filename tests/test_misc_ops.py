@@ -146,3 +146,59 @@ def test_ehm_transform_mats():
     # mirrored left hand differs
     rel_m, _ = ehm_transform_mats(model, body, mirror_left_hand=True)
     assert float(jnp.abs(rel_m - rel).max()) > 1e-4
+
+
+def test_mark_visible_frustum_cull():
+    """mark_visible = camera-space z > 0.2 (ref: dgr_32/__init__.py:158-172,
+    auxiliary.h:151-166 — the NDC bound check is commented out upstream)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from guava_renderer_tpu.core.cameras import Camera
+    from guava_renderer_tpu.ops.gsplat_project import mark_visible
+
+    cam = Camera(
+        R=jnp.eye(3), t=jnp.asarray([0.0, 0.0, 1.0]),
+        tanfovx=jnp.asarray(0.5), tanfovy=jnp.asarray(0.5),
+        width=32, height=32,
+    )
+    pts = jnp.asarray(
+        [
+            [0.0, 0.0, 0.0],    # z_cam = 1.0 -> visible
+            [5.0, -5.0, 2.0],   # far off-axis but in front -> visible (no NDC cull)
+            [0.0, 0.0, -0.85],  # z_cam = 0.15 <= 0.2 -> culled
+            [0.0, 0.0, -3.0],   # behind camera -> culled
+        ]
+    )
+    vis = np.asarray(mark_visible(pts, cam))
+    np.testing.assert_array_equal(vis, [True, True, False, False])
+
+
+def test_fix_motion_injection(tmp_path):
+    """tools/fix_motion.py injects coeffs, preserves cameras (ref: fix_json.py)."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, "tools")
+    from fix_motion import fix_motion
+
+    ref = {
+        f"{i:06d}": {"smplx_coeffs": {"body_pose": i}, "flame_coeffs": {"exp": i},
+                     "w2c": f"cam{i}"}
+        for i in range(4)
+    }
+    custom = {
+        f"f{i}": {"smplx_coeffs": {"body_pose": 100 + i},
+                  "flame_coeffs": {"exp": 200 + i}}
+        for i in range(2)
+    }
+    rp, cp, op = tmp_path / "ref.pkl", tmp_path / "cus.pkl", tmp_path / "out.pkl"
+    rp.write_bytes(pickle.dumps(ref))
+    cp.write_bytes(pickle.dumps(custom))
+    n = fix_motion(str(rp), str(cp), str(op))
+    assert n == 2
+    out = pickle.loads(op.read_bytes())
+    assert out["000000"]["smplx_coeffs"]["body_pose"] == 100
+    assert out["000001"]["flame_coeffs"]["exp"] == 201
+    assert out["000002"]["smplx_coeffs"]["body_pose"] == 2  # untouched tail
+    assert out["000000"]["w2c"] == "cam0"  # cameras preserved

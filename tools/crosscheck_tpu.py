@@ -64,15 +64,45 @@ def main():
     )(*inputs)
     color = np.asarray(color)
 
+    # Gate 1 — Mosaic faithfulness: compiled vs interpret ON THE SAME
+    # BACKEND must agree to fp noise (measured bitwise-identical in the r3
+    # diag). This is the check that catches genuine kernel lowering bugs.
+    from guava_renderer_tpu.ops import gsplat as _gs
+
+    _gs._FORCE_INTERPRET = True
+    try:
+        color_i, radii_i, invd_i = jax.jit(
+            lambda *a: rasterize(*a, cam, jnp.asarray(s["bg"]), settings)
+        )(*inputs)
+    finally:
+        _gs._FORCE_INTERPRET = False
+    d_interp = float(np.abs(color - np.asarray(color_i)).max())
+
+    # Gate 2 — cross-backend fidelity vs the committed CPU-f32 oracle: the
+    # TPU's bf16-input MXU compositing and transcendental rounding make
+    # bitwise equality impossible; gate on PSNR (budget: <=0.5 dB delta vs
+    # CUDA ref => demand >=50 dB vs oracle) + a sane max-diff ceiling.
     d_oracle = float(np.abs(color - s["color"]).max())
+    mse = float(((color - s["color"]) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
     d_radii = int(np.abs(np.asarray(radii) - s["radii"]).max())
     d_invd = float(np.abs(np.asarray(invd) - s["invdepth"]).max())
     backend = jax.devices()[0].platform
-    ok = d_oracle <= args.atol and d_radii == 0 and d_invd <= args.atol
+    same_backend_exact = backend != "tpu"  # off-TPU both paths ARE interpret
+    tol_oracle = args.atol if same_backend_exact else 0.05
+    ok = (
+        d_interp <= args.atol
+        and d_radii == 0
+        and d_oracle <= tol_oracle
+        and (same_backend_exact or psnr >= 50.0)
+        and d_invd <= (args.atol if same_backend_exact else 0.05)
+    )
     print(
         f"CROSSCHECK {'OK' if ok else 'FAIL'} on {backend}: "
-        f"|color-oracle|max={d_oracle:.2e} |radii|max={d_radii} "
-        f"|invd|max={d_invd:.2e} (atol={args.atol:g}, tile={args.tile})"
+        f"|compiled-interpret|max={d_interp:.2e} "
+        f"|color-oracle|max={d_oracle:.2e} psnr={psnr:.1f}dB "
+        f"|radii|max={d_radii} |invd|max={d_invd:.2e} "
+        f"(atol={args.atol:g}, tile={args.tile})"
     )
     sys.exit(0 if ok else 1)
 
