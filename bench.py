@@ -6,10 +6,11 @@ StyleUNet refine at 512^2, batch 1), on synthetic full-scale assets
 (SMPL-X-scale vertex count, 512^2 UV chart) with random weights — FLOPs and
 memory traffic match the real model; weight values don't affect speed.
 
-Rasterizer settings are the PARITY config (tile 16 / chunk 32 /
-max_tiles_per_gaussian 8 — the same `MODEL.raster` block the training
-config uses, configs/train/ubody_512.yaml), so the number describes the
-renderer the rest of the framework runs, not a special-cased fast path.
+Rasterizer settings are the PARITY config (tile 16 / chunk 32 / size-
+classed duplication tpg 4 + 8192x32 — the same `MODEL.raster` block the
+training config uses, configs/train/ubody_512.yaml), so the number
+describes the renderer the rest of the framework runs, not a special-cased
+fast path.
 
 Robustness: the axon backend is probed in a SUBPROCESS with a hard timeout
 and bounded retries before the in-process run (a downed tunnel hangs init
@@ -76,7 +77,8 @@ def _total_cost(fn, *args):
 def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               chunk: int, tpg: int, repeats: int,
               body_side: int = 101, bf16: bool = False,
-              cost: bool = True) -> dict:
+              cost: bool = True, large_k: int = 8192,
+              tpg_large: int = 32, instance_budget: int | None = None) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -148,7 +150,10 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
         height=size,
     )
     bg = jnp.zeros(32)
-    settings = RasterizeSettings(tile=tile, chunk=chunk, max_tiles_per_gaussian=tpg)
+    settings = RasterizeSettings(tile=tile, chunk=chunk,
+                                 max_tiles_per_gaussian=tpg,
+                                 large_k=large_k, tpg_large=tpg_large,
+                                 instance_budget=instance_budget)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -353,7 +358,9 @@ def main():
     ap.add_argument("--uv", type=int, default=512)
     ap.add_argument("--tile", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=32)
-    ap.add_argument("--tpg", type=int, default=8)
+    ap.add_argument("--tpg", type=int, default=4)
+    ap.add_argument("--large-k", type=int, default=8192)
+    ap.add_argument("--tpg-large", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--body-side", type=int, default=101)
     ap.add_argument("--bf16", action="store_true",
@@ -387,6 +394,7 @@ def main():
         platform, args.frames, args.size, args.uv,
         args.tile, args.chunk, args.tpg, args.repeats,
         body_side=args.body_side, bf16=args.bf16, cost=not args.skip_cost,
+        large_k=args.large_k, tpg_large=args.tpg_large,
     )
     fps = stats["fps"]
 
@@ -423,7 +431,7 @@ def main():
 
     emit(
         f"self-reenactment render FPS @{args.size}px, P={stats['P']} gaussians, "
-        f"tile={args.tile} chunk={args.chunk} tpg={args.tpg} (parity config"
+        f"tile={args.tile} chunk={args.chunk} tpg={args.tpg}+{args.large_k}x{args.tpg_large} (parity config"
         f"{', bf16 refiner' if args.bf16 else ''}), {platform} chip",
         fps,
         **extra,

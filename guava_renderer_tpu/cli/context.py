@@ -112,13 +112,14 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         vit_heads=int(m.get("vit_heads", 12)),
         pyramid_dims=tuple(m.get("pyramid_dims", (256, 512, 1024, 1024))),
     )
-    raster_cfg = m.get("raster", None)
+    raster_cfg = m.get("raster", None) or {}
     settings = RasterizeSettings(
-        tile=raster_cfg.get("tile", 16) if raster_cfg else 16,
-        chunk=raster_cfg.get("chunk", 32) if raster_cfg else 32,
-        max_tiles_per_gaussian=raster_cfg.get("max_tiles_per_gaussian", 8)
-        if raster_cfg
-        else 8,
+        tile=raster_cfg.get("tile", 16),
+        chunk=raster_cfg.get("chunk", 32),
+        max_tiles_per_gaussian=raster_cfg.get("max_tiles_per_gaussian", 8),
+        large_k=raster_cfg.get("large_k", 0),
+        tpg_large=raster_cfg.get("tpg_large", 64),
+        instance_budget=raster_cfg.get("instance_budget", None),
     )
     inferer = UbodyGaussianInferer(cfg=icfg, num_vertices=smplx.num_vertices)
     ru = m.get("refiner_type", "styleunet")
@@ -151,6 +152,9 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         lambda_local_scale=float(opt.lambda_local_scale),
         threshold_local_xyz=float(opt.threshold_local_xyz),
         threshold_scale=float(opt.threshold_scale),
+        # first-N-iters masked-render window (ref: loss_utils.py:101-102);
+        # overridable for short overfit/convergence runs
+        mask_renders_until=int(opt.get("mask_renders_until", 1000)),
         crop_size=int(opt.get("crop_size", 256)),
     )
 

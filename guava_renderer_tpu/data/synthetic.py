@@ -19,8 +19,16 @@ def write_synthetic_dataset(
     n_shape: int = 20,
     n_exp: int = 10,
     seed: int = 0,
+    image_mode: str = "noise",
+    frozen_motion: bool = False,
 ) -> None:
-    """Emit a directory with the full tracked-video layout."""
+    """Emit a directory with the full tracked-video layout.
+
+    image_mode: "noise" (default — exercises IO/shapes) or "smooth"
+    (band-limited gradients+blobs a renderer can actually fit — used by the
+    overfit-one-frame convergence run). frozen_motion repeats frame 0's
+    coefficients and image for every frame, so the train pair and the
+    validation targets are the SAME image (single-frame overfitting)."""
     import cv2
 
     os.makedirs(path, exist_ok=True)
@@ -44,12 +52,14 @@ def write_synthetic_dataset(
             "flame_shape": rng.normal(size=(1, n_shape)).astype(np.float32) * 0.3,
         }
         tracked[vid] = {}
+        frame0 = None
+        img0 = None
         for i, fk in enumerate(keys):
             RT = np.eye(4, dtype=np.float32)[:3]
             RT[:, 3] = [0.0, 0.0, 6.0]
             # pytorch3d convention stores the pre-flip matrix
             RT[:2] *= -1
-            tracked[vid][fk] = {
+            record = {
                 "smplx_coeffs": {
                     "body_pose": (rng.normal(size=(21, 3)) * 0.05).astype(np.float32),
                     "global_pose": np.zeros((1, 3), np.float32),
@@ -64,7 +74,28 @@ def write_synthetic_dataset(
                     "eyelid_params": np.zeros(2, np.float32),
                 },
             }
-            img = (rng.uniform(0, 255, (image_size, image_size, 3))).astype(np.uint8)
+            if frozen_motion:
+                if frame0 is None:
+                    frame0 = record
+                record = frame0
+            tracked[vid][fk] = record
+            if image_mode == "smooth":
+                yy, xx = np.mgrid[0:image_size, 0:image_size] / image_size
+                img = np.stack(
+                    [
+                        0.5 + 0.45 * np.sin(2 * np.pi * (xx * 1.5 + v + i * 0.1)),
+                        0.5 + 0.45 * np.cos(2 * np.pi * (yy * 1.2 - i * 0.07)),
+                        np.exp(-((xx - 0.5) ** 2 + (yy - 0.45) ** 2) / 0.05),
+                    ],
+                    axis=-1,
+                )
+                img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            else:
+                img = (rng.uniform(0, 255, (image_size, image_size, 3))).astype(np.uint8)
+            if frozen_motion:
+                if img0 is None:
+                    img0 = img
+                img = img0
             mask = np.zeros((image_size, image_size), np.uint8)
             mask[image_size // 4 : -image_size // 4, image_size // 4 : -image_size // 4] = 255
             ok1, img_jpg = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))

@@ -73,6 +73,14 @@ class RasterizeSettings(NamedTuple):
     tile: int = 16                   # pixels per tile side
     chunk: int = 32                  # Gaussians per inner step (sublane mult of 8)
     max_tiles_per_gaussian: int = 16  # duplication cap (rect truncated to fit)
+    # Size-classed duplication: the `large_k` gaussians with the biggest
+    # tile rects are pulled out of the base class and duplicated with cap
+    # `tpg_large` instead. Trained avatars are mostly sub-tile splats with a
+    # fat tail of big ones; a flat cap either truncates the tail (measured
+    # -15 dB on a stress scene, tests/test_tpg_fidelity.py) or multiplies
+    # the instance sort size by 8x. large_k=0 disables the class.
+    large_k: int = 0
+    tpg_large: int = 64
     instance_budget: int | None = None  # cap on sorted instances (None = P*TPG)
     scale_modifier: float = 1.0
     antialiasing: bool = False
@@ -108,24 +116,49 @@ def bin_gaussians(
     rw = x1 - x0
     rh = y1 - y0
     valid = valid & (rw > 0) & (rh > 0)
-    # truncate oversized rects to the duplication cap (rare huge splats lose
-    # their outermost-tile fringe; the reference has no cap but >tpg-tile
-    # splats are pathological for an avatar workload)
-    rw_c = jnp.minimum(rw, tpg)
-    rh_c = jnp.minimum(rh, (tpg + rw_c - 1) // jnp.maximum(rw_c, 1))
 
-    d = jnp.arange(tpg, dtype=jnp.int32)
-    dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
-    dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
-    dup_valid = valid[:, None] & (dy < rh_c[:, None])
-    tile_id = (y0[:, None] + dy) * gx + (x0[:, None] + dx)
-    tile_id = jnp.where(dup_valid, tile_id, num_tiles).astype(jnp.int32)
+    def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, depth_, cap):
+        """Rect -> up-to-`cap` (tile_id, gid, depth) rows, truncated
+        row-major. depth rides along as a broadcast (a (N,)-from-(P,)
+        gather here is the kind of XLA lowering the TPU punishes)."""
+        rw_c = jnp.minimum(rw_, cap)
+        rh_c = jnp.minimum(rh_, (cap + rw_c - 1) // jnp.maximum(rw_c, 1))
+        d = jnp.arange(cap, dtype=jnp.int32)
+        dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
+        dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
+        dup_valid = valid_[:, None] & (dy < rh_c[:, None])
+        tid = (y0_[:, None] + dy) * gx + (x0_[:, None] + dx)
+        tid = jnp.where(dup_valid, tid, num_tiles).astype(jnp.int32)
+        n = x0_.shape[0]
+        gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
+        depth_b = jnp.broadcast_to(depth_[:, None], (n, cap))
+        return tid.reshape(-1), gid_b.reshape(-1), depth_b.reshape(-1)
 
-    depth_b = jnp.broadcast_to(depth[:, None], (P, tpg))
-    gid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, tpg))
-    tile_flat = tile_id.reshape(-1)
+    gids = jnp.arange(P, dtype=jnp.int32)
+    large_k = min(settings.large_k, P)  # micro scenes: fewer splats than cap
+    if large_k > 0:
+        # promote the large_k biggest rects to the tpg_large class; the
+        # flat cap loses whole tile rows of big splats otherwise (CUDA ref
+        # has no cap at all, rasterizer_impl.cu:292-301)
+        need = jnp.where(valid, rw * rh, -1)
+        _, large_idx = jax.lax.top_k(need, large_k)
+        base_valid = valid.at[large_idx].set(False)
+        tile_s, gid_s, depth_s = duplicate(
+            x0, y0, rw, rh, base_valid, gids, depth, tpg)
+        lg = lambda a: a[large_idx]  # noqa: E731
+        tile_l, gid_l, depth_l = duplicate(
+            lg(x0), lg(y0), lg(rw), lg(rh), lg(valid), large_idx, lg(depth),
+            settings.tpg_large,
+        )
+        tile_flat = jnp.concatenate([tile_s, tile_l])
+        gid_flat = jnp.concatenate([gid_s, gid_l])
+        depth_flat = jnp.concatenate([depth_s, depth_l])
+    else:
+        tile_flat, gid_flat, depth_flat = duplicate(
+            x0, y0, rw, rh, valid, gids, depth, tpg)
+
     sorted_tile, _, order = jax.lax.sort(
-        (tile_flat, depth_b.reshape(-1), gid.reshape(-1)), num_keys=2
+        (tile_flat, depth_flat, gid_flat), num_keys=2
     )
     num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
 
@@ -210,14 +243,69 @@ def _chunk_alphas(geom, px, py, mask2d):
     return jnp.where(contrib, jnp.minimum(ag, ALPHA_MAX), 0.0), d0, d1, gexp
 
 
+def _idx_rows(chunk: int) -> int:
+    """SMEM window rows per slot for the index stage (see helpers below)."""
+    return 1 + (chunk + 127) // 128
+
+
+def _row_gather_helpers(table_hbm, order_hbm, idx_sm, buf, sems, osems,
+                        start, chunk):
+    """Two-stage fused gather: stage the chunk's instance->gaussian indices
+    HBM->SMEM, then issue `chunk` single-row DMAs table[idx] -> VMEM.
+
+    Replaces the XLA `per_gauss[order]` gather, which lowered to a 35 s
+    (2.18M, 128) materialization on-chip (outputs/bench/tpu_diag_r3a) and
+    also wrote + re-read the 1.1 GB packed array through HBM. Rows are
+    _PK=128 f32 = exactly one 512 B lane-aligned line.
+
+    Mosaic constraints (probed on-chip, tools/mosaic_probe.py): 1-D arrays
+    only admit 1024-aligned slice shapes AND offsets, while 2-D dim-0
+    slices are unconstrained (shape 1, dynamic offset both fine). So the
+    instance->gaussian map rides as a 2-D (M, 128) i32 table; a chunk's G
+    indices live at flat positions [p, p+G), fetched as the row window
+    [p//128, p//128 + WR) and scalar-read at offset p%128."""
+    G = chunk
+    WR = _idx_rows(G)
+
+    def idx_dma(slot, c):
+        p = start + c * G
+        return pltpu.make_async_copy(
+            order_hbm.at[pl.ds(p // 128, WR)], idx_sm.at[slot],
+            osems.at[slot],
+        )
+
+    def rows_start(slot, c):
+        o = jax.lax.rem(start + c * G, 128)
+        for g in range(G):
+            q = o + g
+            pltpu.make_async_copy(
+                table_hbm.at[pl.ds(idx_sm[slot, q // 128, jax.lax.rem(q, 128)], 1)],
+                buf.at[slot, pl.ds(g, 1)],
+                sems.at[slot],
+            ).start()
+
+    def rows_wait(slot):
+        for g in range(G):
+            pltpu.make_async_copy(
+                table_hbm.at[pl.ds(0, 1)],
+                buf.at[slot, pl.ds(g, 1)],
+                sems.at[slot],
+            ).wait()
+
+    return idx_dma, rows_start, rows_wait
+
+
 def _fwd_kernel(
     ranges_ref,    # scalar prefetch (T+1,)
-    packed_hbm,    # (N, _PK) instances
+    table_hbm,     # (P_pad, _PK) per-gaussian packed rows
+    order_hbm,     # (M, 128) i32 instance -> gaussian id (tile/depth sorted, flat row-major)
     bg_ref,        # (CCH, 1)
     out_ref,       # block (1, 1, CCH, PIX)
     t_ref,         # block (1, 1, 1, PIX)
     buf,
     sems,
+    idx_sm,        # scratch SMEM (2, WR, 128) i32 index windows
+    osems,
     acc_ref,       # scratch (CCH, PIX)
     state_ref,     # scratch (8, PIX): row0 = T, row1 = dead
     flag_ref,      # scratch SMEM (1,): 1 when every pixel saturated
@@ -235,14 +323,20 @@ def _fwd_kernel(
     nchunks = pl.cdiv(num, G)
     px, py = _pixel_coords(tile)
 
-    def dma(slot, c):
-        return pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(start + c * G, G)], buf.at[slot], sems.at[slot]
-        )
+    idx_dma, rows_start, rows_wait = _row_gather_helpers(
+        table_hbm, order_hbm, idx_sm, buf, sems, osems, start, G)
 
+    # prologue: indices chunk 0 -> rows chunk 0 in flight; indices chunk 1
+    # staged so the steady-state body can always prefetch one chunk ahead
     @pl.when(nchunks > 0)
     def _():
-        dma(0, 0).start()
+        idx_dma(0, 0).start()
+        idx_dma(0, 0).wait()
+        rows_start(0, 0)
+
+    @pl.when(nchunks > 1)
+    def _():
+        idx_dma(1, 1).start()
 
     acc_ref[:] = jnp.zeros((_CCH, PIX), jnp.float32)
     state_ref[:] = jnp.zeros((8, PIX), jnp.float32)
@@ -259,9 +353,14 @@ def _fwd_kernel(
 
         @pl.when(c + 1 < nchunks)
         def _():
-            dma(1 - slot, c + 1).start()
+            idx_dma(1 - slot, c + 1).wait()
+            rows_start(1 - slot, c + 1)
 
-        dma(slot, c).wait()
+        @pl.when(c + 2 < nchunks)
+        def _():
+            idx_dma(slot, c + 2).start()
+
+        rows_wait(slot)
         data = buf[slot]              # (G, _PK)
         geom = data[:, :_GEOM]
         colors = data[:, _GEOM:_GEOM + _CCH]      # (G, CCH)
@@ -300,7 +399,18 @@ def _fwd_kernel(
         flag_ref[0] = (jnp.min(dead_f) > 0.5).astype(jnp.int32)
         return c + 1
 
-    jax.lax.while_loop(cond, body, 0)
+    cf = jax.lax.while_loop(cond, body, 0)
+
+    # early-exit drain: body(cf-1) left rows for chunk cf and indices for
+    # chunk cf+1 in flight; an un-waited DMA landing into reused scratch on
+    # the next (sequential) grid step is a race
+    @pl.when(cf < nchunks)
+    def _():
+        rows_wait(jax.lax.rem(cf, 2))
+
+    @pl.when(cf + 1 < nchunks)
+    def _():
+        idx_dma(jax.lax.rem(cf + 1, 2), cf + 1).wait()
 
     T = state_ref[0:1, :]
     out = acc_ref[:] + bg_ref[:] * T               # (CCH,1)*(1,PIX)
@@ -310,7 +420,8 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     ranges_ref,
-    packed_hbm,    # (N, _PK)
+    table_hbm,     # (P_pad, _PK) per-gaussian packed rows
+    order_hbm,     # (M, 128) i32
     bg_ref,        # (CCH, 1)
     t_in_ref,      # block (1, 1, 1, PIX)
     out_in_ref,    # block (1, 1, CCH, PIX)
@@ -320,6 +431,8 @@ def _bwd_kernel(
     dbuf,
     sems,
     dsems,
+    idx_sm,        # scratch SMEM (2, WR, 128) i32 index windows
+    osems,
     state_ref,     # scratch (8, PIX): row0 T, row1 dead, row2 gp
     *,
     tile: int,
@@ -342,10 +455,8 @@ def _bwd_kernel(
     u = jnp.sum(g_out * acc_total, axis=0, keepdims=True)   # (1, PIX)
     gbg = jnp.sum(g_out * bg, axis=0, keepdims=True)        # (1, PIX)
 
-    def dma_in(slot, c):
-        return pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(start + c * G, G)], buf.at[slot], sems.at[slot]
-        )
+    idx_dma, rows_start, rows_wait = _row_gather_helpers(
+        table_hbm, order_hbm, idx_sm, buf, sems, osems, start, G)
 
     def dma_out(slot, c):
         return pltpu.make_async_copy(
@@ -354,7 +465,13 @@ def _bwd_kernel(
 
     @pl.when(nchunks > 0)
     def _():
-        dma_in(0, 0).start()
+        idx_dma(0, 0).start()
+        idx_dma(0, 0).wait()
+        rows_start(0, 0)
+
+    @pl.when(nchunks > 1)
+    def _():
+        idx_dma(1, 1).start()
 
     state_ref[:] = jnp.zeros((8, PIX), jnp.float32)
     state_ref[0:1, :] = jnp.ones((1, PIX), jnp.float32)
@@ -364,9 +481,14 @@ def _bwd_kernel(
 
         @pl.when(c + 1 < nchunks)
         def _():
-            dma_in(1 - slot, c + 1).start()
+            idx_dma(1 - slot, c + 1).wait()
+            rows_start(1 - slot, c + 1)
 
-        dma_in(slot, c).wait()
+        @pl.when(c + 2 < nchunks)
+        def _():
+            idx_dma(slot, c + 2).start()
+
+        rows_wait(slot)
 
         # the grad write from two chunks ago must land before slot reuse
         @pl.when(c >= 2)
@@ -464,13 +586,30 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def blend_tiles(packed, ranges, bg, height, width, tile, chunk):
-    """-> (out (gy, gx, CCH, tile*tile), final_T (gy, gx, 1, tile*tile))."""
-    return _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_tiles(table, order, ranges, bg, height, width, tile, chunk):
+    """Fused gather + blend: table (P, _PK) per-gaussian rows, order (N_pad,)
+    i32 tile/depth-sorted instance->gaussian ids, ranges (T+1,).
+
+    -> (out (gy, gx, CCH, tile*tile), final_T (gy, gx, 1, tile*tile)).
+    The kernel gathers rows by DMA inside the tile loop — never
+    materializing the (N, _PK) packed array XLA's gather took 35 s to
+    build on-chip (outputs/bench/tpu_diag_r3a)."""
+    return _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk)
 
 
-def _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk):
+def _order_2d(order, chunk):
+    """Flat instance->gaussian map -> the kernel's (M, 128) i32 layout.
+
+    1-D HBM/VMEM refs only admit 1024-aligned DMA slices (shape AND offset,
+    tools/mosaic_probe.py); 2-D dim-0 slices are unconstrained. Rows past
+    the flat length absorb the last chunk's window over-read (zeros: row-0
+    fetches whose lanes the blend masks out anyway)."""
+    M = -(-order.shape[0] // 128) + _idx_rows(chunk)
+    return jnp.pad(order, (0, M * 128 - order.shape[0])).reshape(M, 128)
+
+
+def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk):
     gy = height // tile
     gx = width // tile
     PIX = tile * tile
@@ -478,6 +617,7 @@ def _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk):
         num_scalar_prefetch=1,
         grid=(gy, gx),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((_CCH, 1), lambda i, j, r: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -487,6 +627,8 @@ def _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk):
         ],
         scratch_shapes=[
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2, _idx_rows(chunk), 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_CCH, PIX), jnp.float32),
             pltpu.VMEM((8, PIX), jnp.float32),
@@ -502,27 +644,28 @@ def _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk):
             jax.ShapeDtypeStruct((gy, gx, 1, PIX), jnp.float32),
         ],
         interpret=_interpret(),
-    )(ranges, packed, bg.reshape(_CCH, 1))
+    )(ranges, table, _order_2d(order, chunk), bg.reshape(_CCH, 1))
     return out, t
 
 
-def _blend_fwd(packed, ranges, bg, height, width, tile, chunk):
-    out, t = _blend_fwd_call(packed, ranges, bg, height, width, tile, chunk)
-    return (out, t), (packed, ranges, bg, out, t)
+def _blend_fwd(table, order, ranges, bg, height, width, tile, chunk):
+    out, t = _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk)
+    return (out, t), (table, order, ranges, bg, out, t)
 
 
 def _blend_bwd(height, width, tile, chunk, res, grads):
-    packed, ranges, bg, out, t = res
+    table, order, ranges, bg, out, t = res
     g_out, g_t = grads
     del g_t  # final_T treated as an auxiliary, non-differentiable output
     gy = height // tile
     gx = width // tile
     PIX = tile * tile
-    N = packed.shape[0]
+    N = order.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gy, gx),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((_CCH, 1), lambda i, j, r: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
@@ -537,6 +680,8 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2, _idx_rows(chunk), 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((8, PIX), jnp.float32),
         ],
     )
@@ -547,16 +692,23 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
         out_shape=[jax.ShapeDtypeStruct((N, _PK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(ranges, packed, bg.reshape(_CCH, 1), t, out, g_out)[0]
+    )(ranges, table, _order_2d(order, chunk), bg.reshape(_CCH, 1), t, out,
+      g_out)[0]
 
     # rows past the last valid instance were never written — zero them
     n_valid = ranges[-1]
     row = jnp.arange(N, dtype=jnp.int32)[:, None]
     dpacked = jnp.where(row < n_valid, dpacked, 0.0)
 
+    # per-instance grads -> per-gaussian rows. XLA scatter-add; invalid
+    # tail instances carry zero grads into row order[i] harmlessly.
+    # (Training-path lowering quality on TPU unmeasured — the inference
+    # fwd path never runs this.)
+    d_table = jnp.zeros_like(table).at[order].add(dpacked)
+
     # d(bg): sum over pixels of T * g_out
     g_bg = jnp.einsum("yxop,yxcp->c", t, g_out)
-    return dpacked, None, g_bg
+    return d_table, None, None, g_bg
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
@@ -632,16 +784,19 @@ def rasterize(
         ],
         axis=-1,
     )  # (P, _PK)
-    packed = per_gauss[order]
-    # chunk DMAs may over-read past a short final run — pad by one chunk
+    # the blend kernel gathers rows itself from (order, per_gauss) — no XLA
+    # gather, no (N, _PK) materialization. Pad order by one chunk so the
+    # kernel's index staging may over-read past a short final run (padded
+    # entries point at row 0; their lanes are masked in the blend).
     G = settings.chunk
-    pad_rows = ((packed.shape[0] + G - 1) // G + 1) * G - packed.shape[0]
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((pad_rows, _PK), packed.dtype)], axis=0
+    pad_rows = ((order.shape[0] + G - 1) // G + 1) * G - order.shape[0]
+    order = jnp.concatenate(
+        [order, jnp.zeros((pad_rows,), order.dtype)], axis=0
     )
 
     bg_ext = jnp.concatenate([bg, jnp.zeros(_CCH - NUM_CHANNELS, bg.dtype)])
-    out4, _ = blend_tiles(packed, ranges, bg_ext, H, W, tile, settings.chunk)
+    out4, _ = blend_tiles(per_gauss, order, ranges, bg_ext, H, W, tile,
+                          settings.chunk)
     out = _tiled_to_image(out4, H, W, tile)  # (H, W, CCH)
 
     color = jnp.transpose(out[:, :, :NUM_CHANNELS], (2, 0, 1))

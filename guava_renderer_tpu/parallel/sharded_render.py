@@ -94,12 +94,12 @@ def rasterize_row_sharded(
             ],
             axis=-1,
         )
-        packed = per_gauss[order]
         G = settings.chunk
-        pad_rows = ((packed.shape[0] + G - 1) // G + 1) * G - packed.shape[0]
-        packed = jnp.concatenate([packed, jnp.zeros((pad_rows, _PK), packed.dtype)])
+        pad_rows = ((order.shape[0] + G - 1) // G + 1) * G - order.shape[0]
+        order = jnp.concatenate([order, jnp.zeros((pad_rows,), order.dtype)])
         bg_ext = jnp.concatenate([bg_, jnp.zeros(_CCH - NUM_CHANNELS, bg_.dtype)])
-        out4, _ = blend_tiles(packed, ranges, bg_ext, Hl, W, settings.tile, G)
+        out4, _ = blend_tiles(per_gauss, order, ranges, bg_ext, Hl, W,
+                              settings.tile, G)
         out = _tiled_to_image(out4, Hl, W, settings.tile)
         color = jnp.transpose(out[:, :, :NUM_CHANNELS], (2, 0, 1))  # (C, Hl, W)
         invdepth = out[:, :, NUM_CHANNELS][None]

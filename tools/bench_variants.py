@@ -23,15 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import BASELINE_FPS, run_bench  # noqa: E402
 
 VARIANTS = [
-    # (label, kwargs)
-    ("parity-f32", dict(tile=16, chunk=32, tpg=8, bf16=False)),
-    ("parity-bf16ref", dict(tile=16, chunk=32, tpg=8, bf16=True)),
-    ("tile32", dict(tile=32, chunk=32, tpg=8, bf16=False)),
-    ("tile32-bf16ref", dict(tile=32, chunk=32, tpg=8, bf16=True)),
-    ("chunk64", dict(tile=16, chunk=64, tpg=8, bf16=False)),
-    ("tile32-chunk64-bf16ref", dict(tile=32, chunk=64, tpg=8, bf16=True)),
+    # (label, kwargs) — tpg 4 + large(8192x32) is the parity raster block
+    ("parity-f32", dict(tile=16, chunk=32, tpg=4, bf16=False)),
+    ("parity-bf16ref", dict(tile=16, chunk=32, tpg=4, bf16=True)),
+    ("flat-tpg8", dict(tile=16, chunk=32, tpg=8, large_k=0, bf16=False)),
+    ("tile32", dict(tile=32, chunk=32, tpg=4, bf16=False)),
+    ("chunk64", dict(tile=16, chunk=64, tpg=4, bf16=False)),
+    ("budget512k", dict(tile=16, chunk=32, tpg=4, bf16=False,
+                        instance_budget=512 * 1024)),
+    ("tile32-chunk64-bf16ref", dict(tile=32, chunk=64, tpg=4, bf16=True)),
 ]
-QUICK = [0, 1, 3]
+QUICK = [0, 1, 5]
 
 
 def main():
@@ -65,6 +67,9 @@ def main():
                 kw["tile"], kw["chunk"], kw["tpg"], args.repeats,
                 body_side=args.body_side, bf16=kw["bf16"],
                 cost=False,  # sweep measures FPS only; bench.py owns MFU
+                large_k=kw.get("large_k", 8192),
+                tpg_large=kw.get("tpg_large", 32),
+                instance_budget=kw.get("instance_budget"),
             )
             fps, P = stats["fps"], stats["P"]
         except Exception:

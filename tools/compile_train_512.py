@@ -1,0 +1,133 @@
+"""Compile-prove the FULL-SIZE ubody_512 training step (VERDICT r2 item 7).
+
+Builds the real `configs/train/ubody_512.yaml` runtime on full-scale
+synthetic assets, assembles one real loader batch at full shapes, and AOT
+lowers + compiles the shard_map train step — WITHOUT running 200k iters.
+On CPU this flushes tracing/shape bugs at 512^2; on the real chip it is the
+authoritative Mosaic/VMEM pressure check for the backward rasterizer kernel
+(512^2, chunk 32) that interpret-mode tests cannot give.
+
+    python tools/compile_train_512.py --platform axon   # on-chip proof
+    python tools/compile_train_512.py --platform cpu    # shape/trace proof
+
+Prints one status line per stage and a final COMPILE OK/FAIL; with
+--execute also runs one real step (slow on CPU).
+
+Reference role: the first optimization iteration of main/trainer.py
+(ref: main/trainer.py:60-101) at the paper config's full resolution.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="axon", choices=["cpu", "axon", "tpu"])
+    ap.add_argument("--config", default="configs/train/ubody_512.yaml")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="per-chip batch (paper runs 6 over 2 GPUs; one chip"
+                         " compiles the same kernels at any batch)")
+    ap.add_argument("--execute", action="store_true",
+                    help="also run one real step after compiling")
+    ap.add_argument("--dataset-dir", default="/tmp/guava_full_ds")
+    args = ap.parse_args()
+
+    from guava_renderer_tpu.utils.platform import pin_platform
+
+    pin_platform(args.platform)
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from guava_renderer_tpu.cli.context import build_runtime, init_params
+    from guava_renderer_tpu.data.loader import PrefetchLoader
+    from guava_renderer_tpu.data.synthetic import write_synthetic_dataset
+    from guava_renderer_tpu.data.tracked import build_dataset
+    from guava_renderer_tpu.parallel.mesh import (
+        data_parallel_mesh, replicate, shard_batch,
+    )
+    from guava_renderer_tpu.train.pipeline import make_loss_fn
+    from guava_renderer_tpu.train.trainstep import (
+        TrainState, make_optimizer, make_parallel_train_step,
+    )
+    from guava_renderer_tpu.utils.config import ConfigDict
+
+    t0 = time.time()
+    with open(args.config) as f:
+        raw = yaml.safe_load(f)
+    origin = int(raw["DATASET"]["origin_image_size"])
+    if not os.path.exists(os.path.join(args.dataset_dir, "videos_info.json")):
+        write_synthetic_dataset(
+            args.dataset_dir, n_videos=1, n_frames=4, image_size=origin,
+            n_shape=int(raw["MODEL"].get("synthetic_n_shape", 50)),
+            n_exp=int(raw["MODEL"].get("synthetic_n_exp", 20)),
+        )
+    raw["DATASET"]["data_path"] = args.dataset_dir
+    raw["TRAIN"]["batch_size"] = args.batch_size
+    cfg = ConfigDict(raw)
+    print(f"[{time.time()-t0:7.1f}s] dataset + config ready (origin {origin})")
+
+    rt = build_runtime(cfg, synthetic_assets=True)
+    params = init_params(rt)
+    print(f"[{time.time()-t0:7.1f}s] runtime built "
+          f"(image {rt.statics.image_size}^2)")
+
+    loss_fn = make_loss_fn(rt.statics, params["lpips"])
+    optimizer = make_optimizer(
+        params["model"],
+        learning_rate=float(cfg.OPTIMIZE.learning_rate),
+        lr_decay_rate=float(cfg.OPTIMIZE.lr_decay_rate),
+        lr_decay_iter=int(cfg.OPTIMIZE.lr_decay_iter),
+    )
+    mesh = data_parallel_mesh(1)
+    pstep = make_parallel_train_step(loss_fn, optimizer, mesh)
+
+    ds = build_dataset(cfg, "train")
+    loader = PrefetchLoader(ds, args.batch_size, shuffle=False)
+    batch = shard_batch(next(iter(loader)), mesh)
+    state = replicate(
+        TrainState(params["model"], optimizer.init(params["model"]),
+                   jnp.asarray(0)),
+        mesh,
+    )
+    shapes = {k: tuple(v.shape) for k, v in list(batch.items())[:4]
+              if hasattr(v, "shape")}
+    print(f"[{time.time()-t0:7.1f}s] batch ready {shapes} ...")
+
+    tc = time.time()
+    try:
+        lowered = pstep.lower(state, batch)
+        print(f"[{time.time()-t0:7.1f}s] lowered (trace {time.time()-tc:.1f}s)")
+        tc = time.time()
+        compiled = lowered.compile()
+        print(f"[{time.time()-t0:7.1f}s] COMPILE OK ({time.time()-tc:.1f}s) "
+              f"on {jax.devices()[0].platform}")
+    except Exception as e:  # noqa: BLE001
+        print(f"COMPILE FAIL: {type(e).__name__}: {str(e)[:2000]}")
+        sys.exit(1)
+
+    try:
+        ma = compiled.memory_analysis()
+        print(f"  argument {ma.argument_size_in_bytes/2**30:.2f} GiB, "
+              f"output {ma.output_size_in_bytes/2**30:.2f} GiB, "
+              f"temp {ma.temp_size_in_bytes/2**30:.2f} GiB")
+    except Exception:
+        pass
+
+    if args.execute:
+        te = time.time()
+        state2, loss, metrics = compiled(state, batch)
+        loss = float(loss)
+        print(f"[{time.time()-t0:7.1f}s] STEP OK loss={loss:.4f} "
+              f"({time.time()-te:.1f}s)")
+        assert jnp.isfinite(loss)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,13 +35,15 @@ STAGES = [
     "golden",        # compiled vs interpret vs golden, diff maps
     "project",       # full-scale projection alone
     "bin",           # binning (the big sort) alone
-    "gather",        # packed gather alone
-    "blend",         # Pallas blend alone (fixed binning inputs)
+    "blend",         # Pallas blend w/ fused row-gather (fixed binning inputs)
     "raster1",       # one full rasterize call
     "loop_noref",    # 3-frame loop without refiner
     "refiner",       # refiner-only loop
     "full",          # 3-frame full loop (bench.py shape)
 ]
+# measured r3a: XLA's (2.18M,128) gather = 35.3 s steady — replaced by the
+# in-kernel row gather; "gather" stage kept out of the default list
+EXTRA_STAGES = ["gather"]
 
 
 # --------------------------------------------------------------------------
@@ -91,7 +93,8 @@ def build_scene(size=512, uv=512, body_side=101):
     cam = Camera(R=jnp.asarray(w2c[:3, :3]), t=jnp.asarray(w2c[:3, 3]),
                  tanfovx=jnp.asarray(1.0 / 24.0), tanfovy=jnp.asarray(1.0 / 24.0),
                  width=size, height=size)
-    settings = RasterizeSettings(tile=16, chunk=32, max_tiles_per_gaussian=8)
+    settings = RasterizeSettings(tile=16, chunk=32, max_tiles_per_gaussian=4,
+                                 large_k=8192, tpg_large=32)
     base_body = BodyParams(shape=jnp.zeros((1, smplx.n_shape)),
                            body_pose=jnp.zeros((1, 21, 3)))
     base_flame = FlameParams(shape=jnp.zeros((1, smplx.n_shape)),
@@ -262,14 +265,13 @@ def stage_blend(sc):
     P = proj.mean2d.shape[0]
     rng = np.random.default_rng(1)
     per_gauss = jnp.asarray(rng.uniform(0, 0.5, (P, _PK)), jnp.float32)
-    packed = per_gauss[order]
     G = st.chunk
-    pad_rows = ((packed.shape[0] + G - 1) // G + 1) * G - packed.shape[0]
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((pad_rows, _PK), jnp.float32)], axis=0)
+    pad_rows = ((order.shape[0] + G - 1) // G + 1) * G - order.shape[0]
+    order = jnp.concatenate([order, jnp.zeros((pad_rows,), order.dtype)])
     bg = jnp.zeros(_CCH)
-    fn = jax.jit(lambda p, r: blend_tiles(p, r, bg, size, size, st.tile, st.chunk))
-    _timeit("blend kernel alone", fn, packed, ranges)
+    fn = jax.jit(lambda t_, o_, r_: blend_tiles(
+        t_, o_, r_, bg, size, size, st.tile, st.chunk))
+    _timeit("blend kernel (fused row-gather)", fn, per_gauss, order, ranges)
 
 
 def stage_raster1(sc):
@@ -393,7 +395,7 @@ def run_stage(name, out_dir, platform):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", default=None, choices=STAGES)
+    ap.add_argument("--stage", default=None, choices=STAGES + EXTRA_STAGES)
     ap.add_argument("--stages", default=",".join(STAGES))
     ap.add_argument("--out", default="outputs/bench/tpu_diag")
     ap.add_argument("--platform", default="axon")

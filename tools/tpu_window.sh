@@ -1,19 +1,26 @@
 #!/bin/bash
 # One-shot TPU window playbook: run when the axon tunnel comes up.
 # Serializes every chip job (only ONE process may own the TPU) and logs to
-# the given dir. Usage: bash tools/tpu_window.sh [logdir]
+# the given dir. Every stage is wrapped in `timeout` so a tunnel that dies
+# mid-stage can't hang the window; later stages still get a chance (the
+# backend sometimes recovers between processes).
+# Usage: bash tools/tpu_window.sh [logdir]
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/tpu_window}
 mkdir -p "$LOG"
 
 echo "=== 1. compiled-vs-interpret-vs-golden crosscheck ==="
-python tools/crosscheck_tpu.py 2>&1 | tee "$LOG/crosscheck.log"
+timeout 1500 python tools/crosscheck_tpu.py 2>&1 | tee "$LOG/crosscheck.log"
 
 echo "=== 2. parity benchmark (the BENCH number) ==="
-python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
+timeout 2400 python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
 
-echo "=== 3. variant sweep (tile/chunk/bf16) ==="
-python tools/bench_variants.py 2>&1 | tee "$LOG/bench_variants.log"
+echo "=== 3. full-size train-step compile + one step (VMEM proof) ==="
+timeout 2400 python tools/compile_train_512.py --platform axon --execute \
+  2>&1 | tee "$LOG/compile_train_512.log"
+
+echo "=== 4. variant sweep (tile/chunk/bf16) ==="
+timeout 3600 python tools/bench_variants.py 2>&1 | tee "$LOG/bench_variants.log"
 
 echo "=== done; logs in $LOG ==="
