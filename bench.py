@@ -118,6 +118,28 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     def mk(shape, lo, hi):
         return jnp.asarray(rng.uniform(lo, hi, shape), jnp.float32)
 
+    def trained_stats_scales(n, base):
+        """Trained-avatar scale statistics (VERDICT r2 weak #6): mostly
+        sub-tile splats with a fat tail of multi-tile ones, instead of the
+        flattering uniform draw. Mixture mirrors tests/test_tpg_fidelity.py,
+        scaled by `base` to land the same pixel-radius classes under this
+        scene's focal/depth (f=size*invtanfov/2, d~30)."""
+        u = rng.uniform(0, 1, n)
+        s = np.where(
+            u < 0.85, rng.lognormal(-4.2, 0.3, n),
+            np.where(u < 0.95, rng.lognormal(-3.0, 0.3, n),
+                     rng.lognormal(-1.9, 0.4, n)),
+        ) * base
+        aniso = rng.lognormal(0, 0.2, (n, 2))
+        return jnp.asarray(
+            np.stack([s, s * aniso[:, 0], s * aniso[:, 1]], -1), jnp.float32
+        )[None]
+
+    def trained_stats_opacity(n):
+        return jnp.asarray(
+            1.0 / (1.0 + np.exp(-rng.normal(-1.0, 1.5, (1, n, 1)))), jnp.float32
+        )
+
     quats = rng.normal(size=(1, V, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     uv_quats = rng.normal(size=(1, N_uv, 4)).astype(np.float32)
@@ -126,13 +148,17 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     avatar = GaussianAvatar(
         vtx_positions=jnp.asarray(smplx.v_template)[None],
         vtx_colors=mk((1, V, 32), 0, 1),
-        vtx_opacity=mk((1, V, 1), 0.3, 0.95),
-        vtx_scales=mk((1, V, 3), 0.002, 0.01),
+        vtx_opacity=trained_stats_opacity(V),
+        vtx_scales=trained_stats_scales(V, 0.7),
         vtx_rotations=jnp.asarray(quats),
         uv_local_xyz=mk((1, N_uv, 3), -0.5, 0.5),
         uv_colors=mk((1, N_uv, 32), 0, 1),
-        uv_opacity=mk((1, N_uv, 1), 0.3, 0.95),
-        uv_scales=mk((1, N_uv, 3), 0.05, 0.3),
+        # uv scales are multiplied by the binding face's edge length
+        # (~0.016 world for the 101-grid body) in the deformer; base 40
+        # lands the same sub-tile/medium/multi-tile pixel-radius classes
+        # as the vtx splats under this scene's focal/depth
+        uv_opacity=trained_stats_opacity(N_uv),
+        uv_scales=trained_stats_scales(N_uv, 40.0),
         uv_rotations=jnp.asarray(uv_quats),
         uv_binding_face=jnp.asarray(extras.uvmap_f_idx.reshape(-1)),
         uv_face_bary=jnp.asarray(extras.uvmap_f_bary.reshape(-1, 3)),
@@ -198,7 +224,16 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
             return acc + frame(acc * 1e-12 + i)
         return jax.lax.fori_loop(0, frames, body, 0.0)
 
-    r = float(run(0))  # compile + warm up
+    t0 = time.time()
+    print(f"[bench] compiling {frames}-frame loop @{size}^2 ...",
+          file=sys.stderr, flush=True)
+    run.lower(0).compile()
+    print(f"[bench] compile done in {time.time()-t0:.0f}s; warming up",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    r = float(run(0))  # warm up
+    print(f"[bench] warmup done in {time.time()-t0:.0f}s", file=sys.stderr,
+          flush=True)
     best = 0.0
     for rep in range(1, repeats + 1):
         t0 = time.time()
@@ -336,7 +371,12 @@ def run_infer_bench(platform: str, size: int = 512, uv: int = 512,
             return acc + create(image + acc * 1e-12 + 0.0 * i)
         return jax.lax.fori_loop(0, frames, body_fn, jnp.float32(seed) * 0.0)
 
+    t0 = time.time()
+    print("[bench] compiling avatar-creation path ...", file=sys.stderr,
+          flush=True)
     float(run(0))  # compile + warm up
+    print(f"[bench] infer compile+warmup {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
     best_ms = float("inf")
     for rep in range(1, repeats + 1):
         t0 = time.time()

@@ -9,6 +9,8 @@ layout) can match the real models so performance benchmarks are honest.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .data import ParametricModelData, SmplxExtras
@@ -99,13 +101,31 @@ def synthetic_ehm(
     uv_size: int = 64,
     add_teeth: bool = True,
     seed: int = 0,
+    cache: bool = True,
 ):
     """Build a consistent (smplx_data, flame_data, extras) triple.
 
     The head region of the body mesh IS the flame mesh translated by
     `head_offset`, and the body's eye-joint regressor rows mirror flame's,
     so the EHM graft is near-identity at neutral pose — a checkable property.
+
+    Full-scale builds (body_side 101, uv 512) spend ~10 host-minutes in the
+    UV face tables; results are memoized to disk (keyed on every argument)
+    so repeated bench/diag runs in one container start instantly. Set
+    cache=False (or GUAVA_NO_RIG_CACHE=1) to force a rebuild.
     """
+    import pickle
+
+    key = f"rig_b{body_side}_h{head_side}_s{n_shape}_e{n_exp}_u{uv_size}" \
+          f"_t{int(add_teeth)}_r{seed}_v1.pkl"
+    cache_path = os.path.join(
+        os.environ.get("GUAVA_RIG_CACHE_DIR", "/tmp/guava_rig_cache"), key)
+    if cache and not os.environ.get("GUAVA_NO_RIG_CACHE"):
+        try:
+            with open(cache_path, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass
     rng = np.random.default_rng(seed)
 
     # --- flame: small grid "head" at origin, 5 joints ---
@@ -236,7 +256,17 @@ def synthetic_ehm(
             smplx.num_vertices, smplx.faces, extras.faces_uv_idx, extras.texcoords
         ),
     )
-    return smplx, flame, extras
+    result = (smplx, flame, extras)
+    if cache and not os.environ.get("GUAVA_NO_RIG_CACHE"):
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            tmp = cache_path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump(result, f)
+            os.replace(tmp, cache_path)
+        except Exception:
+            pass
+    return result
 
 
 def _uv_for_grid(nx, ny, origin, size):

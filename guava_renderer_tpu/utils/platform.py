@@ -41,6 +41,20 @@ def pin_platform(platform: str | None, host_devices: int | None = None) -> None:
             jax.config.update("jax_platforms", platform)
         except Exception:
             pass  # backend already initialized; env pin still helps children
+    if platform in ("axon", "tpu"):
+        # Persistent compilation cache: remote TPU compiles of the full
+        # 512^2 pipeline take tens of minutes through the tunnel; caching
+        # them client-side makes every later bench/window run start hot.
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/repo/.jax_cache")
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:
+            pass
 
 
 def normalize_device_arg(d: str | None) -> str | None:

@@ -126,6 +126,11 @@ def main():
         loss = float(loss)
         print(f"[{time.time()-t0:7.1f}s] STEP OK loss={loss:.4f} "
               f"({time.time()-te:.1f}s)")
+        print("  metrics: " + " ".join(
+            f"{k}={float(v):.4g}" for k, v in sorted(metrics.items())))
+        te = time.time()
+        _, loss2, _ = compiled(state2, batch)
+        print(f"  second step: loss={float(loss2):.4g} ({time.time()-te:.1f}s)")
         assert jnp.isfinite(loss)
 
 

@@ -14,10 +14,10 @@ echo "=== 1. compiled-vs-interpret-vs-golden crosscheck ==="
 timeout 1500 python tools/crosscheck_tpu.py 2>&1 | tee "$LOG/crosscheck.log"
 
 echo "=== 2. parity benchmark (the BENCH number) ==="
-timeout 2400 python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
+timeout 4800 python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
 
 echo "=== 3. full-size train-step compile + one step (VMEM proof) ==="
-timeout 2400 python tools/compile_train_512.py --platform axon --execute \
+timeout 4800 python tools/compile_train_512.py --platform axon --execute \
   2>&1 | tee "$LOG/compile_train_512.log"
 
 echo "=== 4. variant sweep (tile/chunk/bf16) ==="
