@@ -93,7 +93,11 @@ class UVPointGSDecoder(nn.Module):
 
         colors = head2("color", h1, self.color_dim)
         opacities = nn.sigmoid(head2("opacity", h2, 1))
-        scales = jnp.exp(head2("scale", h2, 3))
+        # ref feature_decoder.py:126 is a raw exp; the exponent is clamped
+        # here so a randomly-initialized full-size model yields finite
+        # scales/losses on the first steps (exp(8)~3e3 is far beyond
+        # threshold_scale=0.6, so the scale regularizer still bites)
+        scales = jnp.exp(jnp.minimum(head2("scale", h2, 3), 8.0))
         rot = head2("rotation", h2, 4)
         rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
         y = leaky_relu(nn.Conv(h1, (3, 3), padding=1, name="localpos0")(x), 0.01)
