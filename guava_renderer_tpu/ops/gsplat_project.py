@@ -157,10 +157,22 @@ def project_gaussians(
     det_inv = 1.0 / det_safe
     conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
 
-    # 3-sigma radius from the max eigenvalue (ref: forward.cu:237-240)
+    # 3-sigma radius from the max eigenvalue (ref: forward.cu:237-240),
+    # tightened per-splat by opacity: a pixel only contributes when
+    # a0*exp(-power) >= 1/255 (the blend's skip, forward.cu:358-360), i.e.
+    # within sqrt(2*ln(255*a0)) sigmas — for low-opacity splats that is far
+    # inside 3 sigma, so the tighter rect renders bit-identically while
+    # duplicating into many fewer tiles (trained avatars carry a large
+    # near-transparent population).
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+    a0 = opacities * alpha_scale
+    # floor at 0.3 sigma: splats with a0 barely above 1/255 contribute only
+    # at their center pixel, which a zero radius would wrongly cull
+    nsig = jnp.clip(
+        jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * a0, 1.0))), 0.3, 3.0
+    )
+    radius_f = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(lam, 0.0)))
 
     valid = in_front & nonzero & (radius_f > 0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)

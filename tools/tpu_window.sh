@@ -3,7 +3,10 @@
 # Serializes every chip job (only ONE process may own the TPU) and logs to
 # the given dir. Every stage is wrapped in `timeout` so a tunnel that dies
 # mid-stage can't hang the window; later stages still get a chance (the
-# backend sometimes recovers between processes).
+# backend sometimes recovers between processes). Stages are ordered by
+# marginal value: correctness gate, then the per-stage perf breakdown that
+# drives optimization, then the headline number, then train-step proof,
+# then the variant sweep.
 # Usage: bash tools/tpu_window.sh [logdir]
 set -u
 cd "$(dirname "$0")/.."
@@ -13,14 +16,19 @@ mkdir -p "$LOG"
 echo "=== 1. compiled-vs-interpret-vs-golden crosscheck ==="
 timeout 1500 python tools/crosscheck_tpu.py 2>&1 | tee "$LOG/crosscheck.log"
 
-echo "=== 2. parity benchmark (the BENCH number) ==="
+echo "=== 2. per-stage perf breakdown (project/bin/blend/raster/refiner) ==="
+timeout 4800 python tools/tpu_diag.py \
+  --stages project,bin,blend,raster1,refiner,full --out "$LOG/diag" \
+  2>&1 | tee "$LOG/diag.log"
+
+echo "=== 3. parity benchmark (the BENCH number) ==="
 timeout 4800 python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
 
-echo "=== 3. full-size train-step compile + one step (VMEM proof) ==="
+echo "=== 4. full-size train-step compile + one step (VMEM proof) ==="
 timeout 4800 python tools/compile_train_512.py --platform axon --execute \
   2>&1 | tee "$LOG/compile_train_512.log"
 
-echo "=== 4. variant sweep (tile/chunk/bf16) ==="
+echo "=== 5. variant sweep (tile/chunk/bf16) ==="
 timeout 3600 python tools/bench_variants.py 2>&1 | tee "$LOG/bench_variants.log"
 
 echo "=== done; logs in $LOG ==="
