@@ -285,14 +285,58 @@ def _row_gather_helpers(table_hbm, order_hbm, idx_sm, buf, sems, osems,
             ).start()
 
     def rows_wait(slot):
-        for g in range(G):
-            pltpu.make_async_copy(
-                table_hbm.at[pl.ds(0, 1)],
-                buf.at[slot, pl.ds(g, 1)],
-                sems.at[slot],
-            ).wait()
+        # DMA semaphores count BYTES (wait_dma2 sizes the wait from the
+        # descriptor): one (G, _PK)-shaped wait absorbs all G row
+        # completions in a single scalar op instead of G per-row waits
+        pltpu.make_async_copy(
+            table_hbm.at[pl.ds(0, G)], buf.at[slot], sems.at[slot]
+        ).wait()
 
     return idx_dma, rows_start, rows_wait
+
+
+def _rmw_helpers(dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, chunk):
+    """Backward-pass read-modify-write accumulation of per-gaussian grads
+    directly into the (P, _PK) gradient table, replacing the XLA
+    scatter-add over per-instance rows (which lowers to a ~20 us/row
+    serial loop — ~29 s/step at 512^2, outputs/bench/.../compile_train_512).
+
+    Race-freedom: the Pallas grid is sequential on-core; within one tile
+    every instance is a distinct gaussian (duplication emits one instance
+    per (gaussian, tile), the large/base classes are disjoint), so all
+    in-flight reads/writes inside a grid step touch distinct rows. Writes
+    are drained in the epilogue before the next tile may read them."""
+    G = chunk
+
+    def _each(slot, c, fn):
+        o = jax.lax.rem(start + c * G, 128)
+        for g in range(G):
+            q = o + g
+            fn(g, idx_sm[slot, q // 128, jax.lax.rem(q, 128)])
+
+    def acc_start(slot, c):
+        _each(slot, c, lambda g, idx: pltpu.make_async_copy(
+            dtable_hbm.at[pl.ds(idx, 1)], dacc.at[slot, pl.ds(g, 1)],
+            rsems.at[slot]).start())
+
+    def acc_wait(slot):
+        # single byte-counted wait for all G row reads (see rows_wait)
+        pltpu.make_async_copy(
+            dtable_hbm.at[pl.ds(0, G)], dacc.at[slot], rsems.at[slot]
+        ).wait()
+
+    def write_start(slot, c):
+        _each(slot, c, lambda g, idx: pltpu.make_async_copy(
+            dbuf.at[slot, pl.ds(g, 1)], dtable_hbm.at[pl.ds(idx, 1)],
+            wsems.at[slot]).start())
+
+    def write_wait(slot):
+        # single byte-counted wait for all G row writes (see rows_wait)
+        pltpu.make_async_copy(
+            dbuf.at[slot], dtable_hbm.at[pl.ds(0, G)], wsems.at[slot]
+        ).wait()
+
+    return acc_start, acc_wait, write_start, write_wait
 
 
 def _fwd_kernel(
@@ -426,11 +470,15 @@ def _bwd_kernel(
     t_in_ref,      # block (1, 1, 1, PIX)
     out_in_ref,    # block (1, 1, CCH, PIX)
     gout_ref,      # block (1, 1, CCH, PIX)
-    dpacked_hbm,   # out: (N, _PK) per-instance grads
+    dzero_ref,     # (P, _PK) zeros input, aliased to the output below
+    dtable_hbm,    # out: (P, _PK) per-gaussian grads, aliased to dzero_ref;
+                   # accumulated in place by row DMAs
     buf,
+    dacc,
     dbuf,
     sems,
-    dsems,
+    rsems,
+    wsems,
     idx_sm,        # scratch SMEM (2, WR, 128) i32 index windows
     osems,
     state_ref,     # scratch (8, PIX): row0 T, row1 dead, row2 gp
@@ -457,17 +505,15 @@ def _bwd_kernel(
 
     idx_dma, rows_start, rows_wait = _row_gather_helpers(
         table_hbm, order_hbm, idx_sm, buf, sems, osems, start, G)
-
-    def dma_out(slot, c):
-        return pltpu.make_async_copy(
-            dbuf.at[slot], dpacked_hbm.at[pl.ds(start + c * G, G)], dsems.at[slot]
-        )
+    acc_start, acc_wait, write_start, write_wait = _rmw_helpers(
+        dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, G)
 
     @pl.when(nchunks > 0)
     def _():
         idx_dma(0, 0).start()
         idx_dma(0, 0).wait()
         rows_start(0, 0)
+        acc_start(0, 0)
 
     @pl.when(nchunks > 1)
     def _():
@@ -483,17 +529,15 @@ def _bwd_kernel(
         def _():
             idx_dma(1 - slot, c + 1).wait()
             rows_start(1 - slot, c + 1)
-
-        @pl.when(c + 2 < nchunks)
-        def _():
-            idx_dma(slot, c + 2).start()
+            acc_start(1 - slot, c + 1)
 
         rows_wait(slot)
+        acc_wait(slot)
 
-        # the grad write from two chunks ago must land before slot reuse
+        # the row writes from two chunks ago must land before dbuf reuse
         @pl.when(c >= 2)
         def _():
-            dma_out(slot, c - 2).wait()
+            write_wait(slot)
 
         data = buf[slot]
         geom = data[:, :_GEOM]
@@ -558,8 +602,16 @@ def _bwd_kernel(
             [dmx, dmy, dca, dcb, dcc, dop, zeros, zeros], axis=1
         )  # (G, 8)
         pad = jnp.zeros((G, _PK - _GEOM - _CCH), jnp.float32)
-        dbuf[slot] = jnp.concatenate([dgeom, dcol, pad], axis=1)
-        dma_out(slot, c).start()
+        # accumulate: previous per-gaussian totals (gathered rows) + this
+        # chunk's instance grads, written back row-by-row
+        dbuf[slot] = dacc[slot] + jnp.concatenate([dgeom, dcol, pad], axis=1)
+        write_start(slot, c)
+
+        # the c+2 index window may only overwrite idx_sm[slot] after the
+        # row writes above have latched their target rows
+        @pl.when(c + 2 < nchunks)
+        def _():
+            idx_dma(slot, c + 2).start()
 
         T_new = jnp.min(jnp.where(live, P_incl, jnp.inf), axis=0, keepdims=True)
         died = jnp.any((at > 0.0) & jnp.logical_not(live), axis=0, keepdims=True)
@@ -568,17 +620,18 @@ def _bwd_kernel(
         state_ref[2:3, :] = prefix_incl[G - 1 : G, :]
         return 0
 
-    # must visit every chunk (all instance grads must be written)
+    # must visit every chunk (all instance grads must be accumulated)
     jax.lax.fori_loop(0, nchunks, body, 0)
 
-    # drain outstanding grad writes
+    # drain outstanding row writes: the next grid step's tile may read any
+    # of these rows
     @pl.when(nchunks >= 2)
     def _():
-        dma_out(jax.lax.rem(nchunks, 2), nchunks - 2).wait()
+        write_wait(jax.lax.rem(nchunks, 2))
 
     @pl.when(nchunks >= 1)
     def _():
-        dma_out(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+        write_wait(jax.lax.rem(nchunks - 1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -660,7 +713,6 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
     gy = height // tile
     gx = width // tile
     PIX = tile * tile
-    N = order.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gy, gx),
@@ -671,6 +723,7 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
             pl.BlockSpec((1, 1, 1, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _CCH, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _CCH, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # zeros, aliased to output
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -678,6 +731,8 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
         scratch_shapes=[
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
+            pltpu.VMEM((2, chunk, _PK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((2, _idx_rows(chunk), 128), jnp.int32),
@@ -686,25 +741,18 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
         ],
     )
     kernel = functools.partial(_bwd_kernel, tile=tile, chunk=chunk, grid_x=gx)
-    dpacked = pl.pallas_call(
+    # the gradient table is accumulated IN PLACE by the kernel's row DMAs:
+    # a zeros array rides in as the aliased input so untouched gaussians
+    # keep zero gradients (input 7 counting the scalar-prefetch operand)
+    d_table = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((N, _PK), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct(table.shape, jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={7: 0},
         interpret=_interpret(),
     )(ranges, table, _order_2d(order, chunk), bg.reshape(_CCH, 1), t, out,
-      g_out)[0]
-
-    # rows past the last valid instance were never written — zero them
-    n_valid = ranges[-1]
-    row = jnp.arange(N, dtype=jnp.int32)[:, None]
-    dpacked = jnp.where(row < n_valid, dpacked, 0.0)
-
-    # per-instance grads -> per-gaussian rows. XLA scatter-add; invalid
-    # tail instances carry zero grads into row order[i] harmlessly.
-    # (Training-path lowering quality on TPU unmeasured — the inference
-    # fwd path never runs this.)
-    d_table = jnp.zeros_like(table).at[order].add(dpacked)
+      g_out, jnp.zeros_like(table))[0]
 
     # d(bg): sum over pixels of T * g_out
     g_bg = jnp.einsum("yxop,yxcp->c", t, g_out)

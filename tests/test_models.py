@@ -91,7 +91,14 @@ def test_vertex_decoder():
     assert out["colors"].shape == (2, 100, 32)
     assert out["opacities"].shape == (2, 100, 1)
     assert float(out["scales"].max()) <= 0.05
-    np.testing.assert_allclose(np.linalg.norm(out["rotations"], axis=-1), 1.0, atol=1e-5)
+    # reference quirk: F.normalize(dim=1) normalizes across the VERTEX axis
+    # (ref feature_decoder.py:58; see decoders.py) — per-quat norms are NOT
+    # 1, but each (B, 4)-column across vertices is unit
+    np.testing.assert_allclose(
+        np.linalg.norm(out["rotations"], axis=1), 1.0, atol=1e-5
+    )
+    per_quat = np.linalg.norm(out["rotations"], axis=-1)
+    assert float(np.abs(per_quat - 1.0).max()) > 0.1
 
 
 def test_uv_decoder():

@@ -1,0 +1,168 @@
+"""Row-gather DMA throughput micro-bench (the blend kernel's bottleneck).
+
+stage blend (window 20260817_011351) measured ~630 ns/instance with no
+early exit — descriptor-bound, not bandwidth-bound (32 x 512 B row DMAs
+per chunk). This bench isolates the gather loop and compares:
+
+  contig   one (G,128) contiguous DMA per chunk (lower bound, old layout)
+  rows1    G row DMAs, one semaphore bank (the current kernel)
+  rowsB<k> G row DMAs spread over k semaphore banks, one byte-counted
+           wait per bank — tests whether Mosaic maps distinct semaphores
+           to distinct DMA queues (parallel descriptor processing)
+
+    python tools/dma_bench.py [--platform axon] [--rows 262144]
+
+Timing: in-jit fori loop with an index-data dependency and scalar fetch
+(tunnel RTT amortized, no output transfer).
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+G = 32
+_PK = 128
+
+
+def build(platform, rows, p_rows):
+    from guava_renderer_tpu.utils.platform import pin_platform
+
+    pin_platform(platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.uniform(0, 1, (p_rows, _PK)), jnp.float32)
+    idx = rng.integers(0, p_rows, rows).astype(np.int32)
+    M = -(-rows // 128) + 2
+    idx2d = np.zeros((M, 128), np.int32)
+    idx2d.reshape(-1)[:rows] = idx
+    return table, jnp.asarray(idx2d)
+
+
+def make_variant(name, banks, rows):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchunks = rows // G
+
+    def kernel(idx_hbm, table_hbm, o_ref, buf, sems, idx_sm, osems, acc_ref):
+        c0 = pl.program_id(0)
+
+        def idx_dma():
+            return pltpu.make_async_copy(
+                idx_hbm.at[pl.ds((c0 * G) // 128, 2)], idx_sm.at[0],
+                osems,
+            )
+
+        idx_dma().start()
+        idx_dma().wait()
+        o = jax.lax.rem(c0 * G, 128)
+
+        if name == "contig":
+            cp = pltpu.make_async_copy(
+                table_hbm.at[pl.ds(jax.lax.rem(c0 * 7, 1024) * G, G)],
+                buf.at[0], sems.at[0, 0],
+            )
+            cp.start()
+            cp.wait()
+        else:
+            for g in range(G):
+                q = o + g
+                pltpu.make_async_copy(
+                    table_hbm.at[
+                        pl.ds(idx_sm[0, q // 128, jax.lax.rem(q, 128)], 1)],
+                    buf.at[0, pl.ds(g, 1)],
+                    sems.at[0, g % banks],
+                ).start()
+            per = G // banks
+            for b in range(banks):
+                pltpu.make_async_copy(
+                    table_hbm.at[pl.ds(0, per)],
+                    buf.at[0, pl.ds(0, per)],
+                    sems.at[0, b],
+                ).wait()
+
+        @pl.when(c0 == 0)
+        def _():
+            acc_ref[0, 0] = 0.0
+
+        acc_ref[0, 0] += buf[0, 0, 0]
+
+        @pl.when(c0 == nchunks - 1)
+        def _():
+            o_ref[0, 0] = acc_ref[0, 0]
+
+    def fn(idx2d, table):
+        return pl.pallas_call(
+            kernel,
+            grid=(nchunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((1, G, _PK), jnp.float32),
+                pltpu.SemaphoreType.DMA((1, max(banks, 1))),
+                pltpu.SMEM((1, 2, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((1, 1), jnp.float32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(idx2d, table)
+
+    return fn
+
+
+def run_variant(name, banks, rows, table, idx2d, reps=3, iters=4):
+    import jax
+    import jax.numpy as jnp
+
+    fn = make_variant(name, banks, rows)
+
+    @jax.jit
+    def run(seed):
+        def body(i, acc):
+            idx_dep = idx2d + (acc * 1e-30).astype(jnp.int32)
+            return acc + fn(idx_dep, table)[0, 0] * 1e-30
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(seed) * 0.0)
+
+    t0 = time.time()
+    float(run(0))
+    tc = time.time() - t0
+    best = float("inf")
+    for r in range(1, reps + 1):
+        t0 = time.time()
+        float(run(r))
+        best = min(best, (time.time() - t0) / iters)
+    ns_row = best / rows * 1e9
+    print(f"[{name:8s} banks={banks}] compile={tc:5.1f}s "
+          f"steady={best*1000:7.2f}ms  {ns_row:7.1f} ns/row", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="axon")
+    ap.add_argument("--rows", type=int, default=262144)
+    ap.add_argument("--p-rows", type=int, default=262144)
+    args = ap.parse_args()
+
+    table, idx2d = build(args.platform, args.rows, args.p_rows)
+    for name, banks in [("contig", 1), ("rows", 1), ("rows", 2),
+                        ("rows", 4), ("rows", 8), ("rows", 16)]:
+        try:
+            run_variant(name, banks, args.rows, table, idx2d)
+        except Exception as e:  # noqa: BLE001
+            print(f"[{name} banks={banks}] FAILED {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

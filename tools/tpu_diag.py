@@ -106,24 +106,52 @@ def build_scene(size=512, uv=512, body_side=101):
                 ehm_forward=ehm_forward, deform=deform_with_vertices, size=size)
 
 
-def _timeit(label, fn, *args, reps=3):
-    t0 = time.time()
-    out = fn(*args)
-    # force
+def _timeit(label, fn, *args, reps=3, iters=8):
+    """Time `fn(*args)` amortized over an in-jit loop with a data
+    dependency and a SCALAR fetch.
+
+    The previous one-call-and-fetch version measured the axon tunnel, not
+    the chip: every rep paid a full round trip plus the transfer of the
+    whole output (np.asarray on a 13 MB blend output dwarfed the compute —
+    window 20260817_011351's 372 ms 'project' was RTT+transfer). Looping
+    inside jit divides the round trip by `iters` and fetches 4 bytes."""
     import jax
-    jax.tree_util.tree_map(
-        lambda x: np.asarray(x).ravel()[:1] if hasattr(x, "shape") else x, out)
+    import jax.numpy as jnp
+
+    fi = next(
+        (i for i, a in enumerate(args)
+         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)),
+        None,
+    )
+
+    def scalarize(out):
+        leaves = [
+            x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")
+        ]
+        return sum(
+            jnp.sum(x.reshape(-1)[:1].astype(jnp.float32)) for x in leaves
+        )
+
+    @jax.jit
+    def run(seed):
+        def body(i, acc):
+            a = list(args)
+            if fi is not None:
+                a[fi] = a[fi] + (acc * 1e-30 + i * 0.0).astype(a[fi].dtype)
+            return acc + scalarize(fn(*a)) * 1e-30
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(seed) * 0.0)
+
+    t0 = time.time()
+    float(run(0))
     t_compile = time.time() - t0
     best = float("inf")
-    for _ in range(reps):
+    for r in range(1, reps + 1):
         t0 = time.time()
-        out = fn(*args)
-        jax.tree_util.tree_map(
-            lambda x: np.asarray(x).ravel()[:1] if hasattr(x, "shape") else x, out)
-        best = min(best, time.time() - t0)
-    print(f"[{label}] compile+first={t_compile:.1f}s steady={best*1000:.1f}ms",
-          flush=True)
-    return out
+        float(run(r))
+        best = min(best, (time.time() - t0) / iters)
+    print(f"[{label}] compile+first={t_compile:.1f}s steady={best*1000:.1f}ms"
+          f" (x{iters} in-jit)", flush=True)
+    return fn(*args)
 
 
 # --------------------------------------------------------------------------
