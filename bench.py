@@ -288,6 +288,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
         xla_flops=xla_flops,
         raster_flops=raster_flops,
         flops_per_frame=xla_flops + raster_flops,
+        raster_bytes=raster_bytes,
         bytes_per_frame=xla_bytes + raster_bytes,
     )
     return stats
@@ -445,8 +446,10 @@ def main():
         extra["instances"] = stats["instances"]
         if peak_flops:
             extra["mfu"] = round(fps * stats["flops_per_frame"] / peak_flops, 5)
-            extra["pct_peak_bw"] = round(
-                100.0 * fps * stats["bytes_per_frame"] / peak_bw, 2
+            # raster bytes only: XLA cost-analysis "bytes accessed" counts
+            # every op's operands pre-fusion, wildly above real HBM traffic
+            extra["pct_peak_bw_raster"] = round(
+                100.0 * fps * stats["raster_bytes"] / peak_bw, 2
             )
 
     if not args.skip_infer:

@@ -147,4 +147,10 @@ def make_parallel_train_step(
     def pstep(state, batch):
         return step(state, batch)
 
-    return jax.jit(pstep)
+    # donate the incoming TrainState: at 512^2 the step's temporaries are
+    # ~9.4 GiB and holding two full param+optimizer copies alongside them
+    # exhausts the 16 GiB chip (measured: second step OOM in
+    # outputs/bench/tpu_window_20260817_011351/compile_train_512.log).
+    # The driver loop rebinds `state = pstep(state, ...)`, so the donated
+    # buffers are never reused. CPU ignores donation (tests unaffected).
+    return jax.jit(pstep, donate_argnums=(0,))
