@@ -78,7 +78,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               chunk: int, tpg: int, repeats: int,
               body_side: int = 101, bf16: bool = False,
               cost: bool = True, large_k: int = 8192,
-              tpg_large: int = 32, instance_budget: int | None = None) -> dict:
+              tpg_large: int = 32, instance_budget: int | None = None,
+              dma_banks: int = 1) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -179,7 +180,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     settings = RasterizeSettings(tile=tile, chunk=chunk,
                                  max_tiles_per_gaussian=tpg,
                                  large_k=large_k, tpg_large=tpg_large,
-                                 instance_budget=instance_budget)
+                                 instance_budget=instance_budget,
+                                 dma_banks=dma_banks)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -402,6 +404,8 @@ def main():
     ap.add_argument("--tpg", type=int, default=4)
     ap.add_argument("--large-k", type=int, default=8192)
     ap.add_argument("--tpg-large", type=int, default=32)
+    ap.add_argument("--banks", type=int, default=1,
+                    help="DMA semaphore banks for the row gather")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--body-side", type=int, default=101)
     ap.add_argument("--bf16", action="store_true",
@@ -436,6 +440,7 @@ def main():
         args.tile, args.chunk, args.tpg, args.repeats,
         body_side=args.body_side, bf16=args.bf16, cost=not args.skip_cost,
         large_k=args.large_k, tpg_large=args.tpg_large,
+        dma_banks=args.banks,
     )
     fps = stats["fps"]
 

@@ -120,6 +120,7 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         large_k=raster_cfg.get("large_k", 0),
         tpg_large=raster_cfg.get("tpg_large", 64),
         instance_budget=raster_cfg.get("instance_budget", None),
+        dma_banks=raster_cfg.get("dma_banks", 1),
     )
     inferer = UbodyGaussianInferer(cfg=icfg, num_vertices=smplx.num_vertices)
     ru = m.get("refiner_type", "styleunet")

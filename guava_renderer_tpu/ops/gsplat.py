@@ -82,6 +82,10 @@ class RasterizeSettings(NamedTuple):
     large_k: int = 0
     tpg_large: int = 64
     instance_budget: int | None = None  # cap on sorted instances (None = P*TPG)
+    # semaphore banks for the row-gather/RMW DMAs: spreading rows over
+    # several semaphores lets Mosaic map them to distinct DMA queues
+    # (parallel descriptor processing). chunk must be divisible by it.
+    dma_banks: int = 1
     scale_modifier: float = 1.0
     antialiasing: bool = False
 
@@ -249,7 +253,7 @@ def _idx_rows(chunk: int) -> int:
 
 
 def _row_gather_helpers(table_hbm, order_hbm, idx_sm, buf, sems, osems,
-                        start, chunk):
+                        start, chunk, banks=1):
     """Two-stage fused gather: stage the chunk's instance->gaussian indices
     HBM->SMEM, then issue `chunk` single-row DMAs table[idx] -> VMEM.
 
@@ -265,6 +269,8 @@ def _row_gather_helpers(table_hbm, order_hbm, idx_sm, buf, sems, osems,
     indices live at flat positions [p, p+G), fetched as the row window
     [p//128, p//128 + WR) and scalar-read at offset p%128."""
     G = chunk
+    B = banks
+    per = G // B
     WR = _idx_rows(G)
 
     def idx_dma(slot, c):
@@ -281,21 +287,24 @@ def _row_gather_helpers(table_hbm, order_hbm, idx_sm, buf, sems, osems,
             pltpu.make_async_copy(
                 table_hbm.at[pl.ds(idx_sm[slot, q // 128, jax.lax.rem(q, 128)], 1)],
                 buf.at[slot, pl.ds(g, 1)],
-                sems.at[slot],
+                sems.at[slot, g % B],
             ).start()
 
     def rows_wait(slot):
         # DMA semaphores count BYTES (wait_dma2 sizes the wait from the
-        # descriptor): one (G, _PK)-shaped wait absorbs all G row
-        # completions in a single scalar op instead of G per-row waits
-        pltpu.make_async_copy(
-            table_hbm.at[pl.ds(0, G)], buf.at[slot], sems.at[slot]
-        ).wait()
+        # descriptor): one (per, _PK)-shaped wait per bank absorbs that
+        # bank's row completions in a single scalar op
+        for b in range(B):
+            pltpu.make_async_copy(
+                table_hbm.at[pl.ds(0, per)], buf.at[slot, pl.ds(0, per)],
+                sems.at[slot, b],
+            ).wait()
 
     return idx_dma, rows_start, rows_wait
 
 
-def _rmw_helpers(dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, chunk):
+def _rmw_helpers(dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, chunk,
+                 banks=1):
     """Backward-pass read-modify-write accumulation of per-gaussian grads
     directly into the (P, _PK) gradient table, replacing the XLA
     scatter-add over per-instance rows (which lowers to a ~20 us/row
@@ -307,6 +316,8 @@ def _rmw_helpers(dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, chunk):
     in-flight reads/writes inside a grid step touch distinct rows. Writes
     are drained in the epilogue before the next tile may read them."""
     G = chunk
+    B = banks
+    per = G // B
 
     def _each(slot, c, fn):
         o = jax.lax.rem(start + c * G, 128)
@@ -317,24 +328,28 @@ def _rmw_helpers(dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, chunk):
     def acc_start(slot, c):
         _each(slot, c, lambda g, idx: pltpu.make_async_copy(
             dtable_hbm.at[pl.ds(idx, 1)], dacc.at[slot, pl.ds(g, 1)],
-            rsems.at[slot]).start())
+            rsems.at[slot, g % B]).start())
 
     def acc_wait(slot):
-        # single byte-counted wait for all G row reads (see rows_wait)
-        pltpu.make_async_copy(
-            dtable_hbm.at[pl.ds(0, G)], dacc.at[slot], rsems.at[slot]
-        ).wait()
+        # byte-counted wait per bank for the row reads (see rows_wait)
+        for b in range(B):
+            pltpu.make_async_copy(
+                dtable_hbm.at[pl.ds(0, per)], dacc.at[slot, pl.ds(0, per)],
+                rsems.at[slot, b],
+            ).wait()
 
     def write_start(slot, c):
         _each(slot, c, lambda g, idx: pltpu.make_async_copy(
             dbuf.at[slot, pl.ds(g, 1)], dtable_hbm.at[pl.ds(idx, 1)],
-            wsems.at[slot]).start())
+            wsems.at[slot, g % B]).start())
 
     def write_wait(slot):
-        # single byte-counted wait for all G row writes (see rows_wait)
-        pltpu.make_async_copy(
-            dbuf.at[slot], dtable_hbm.at[pl.ds(0, G)], wsems.at[slot]
-        ).wait()
+        # byte-counted wait per bank for the row writes (see rows_wait)
+        for b in range(B):
+            pltpu.make_async_copy(
+                dbuf.at[slot, pl.ds(0, per)], dtable_hbm.at[pl.ds(0, per)],
+                wsems.at[slot, b],
+            ).wait()
 
     return acc_start, acc_wait, write_start, write_wait
 
@@ -357,6 +372,7 @@ def _fwd_kernel(
     tile: int,
     chunk: int,
     grid_x: int,
+    banks: int = 1,
 ):
     G = chunk
     PIX = tile * tile
@@ -368,7 +384,7 @@ def _fwd_kernel(
     px, py = _pixel_coords(tile)
 
     idx_dma, rows_start, rows_wait = _row_gather_helpers(
-        table_hbm, order_hbm, idx_sm, buf, sems, osems, start, G)
+        table_hbm, order_hbm, idx_sm, buf, sems, osems, start, G, banks)
 
     # prologue: indices chunk 0 -> rows chunk 0 in flight; indices chunk 1
     # staged so the steady-state body can always prefetch one chunk ahead
@@ -486,6 +502,7 @@ def _bwd_kernel(
     tile: int,
     chunk: int,
     grid_x: int,
+    banks: int = 1,
 ):
     G = chunk
     PIX = tile * tile
@@ -504,9 +521,9 @@ def _bwd_kernel(
     gbg = jnp.sum(g_out * bg, axis=0, keepdims=True)        # (1, PIX)
 
     idx_dma, rows_start, rows_wait = _row_gather_helpers(
-        table_hbm, order_hbm, idx_sm, buf, sems, osems, start, G)
+        table_hbm, order_hbm, idx_sm, buf, sems, osems, start, G, banks)
     acc_start, acc_wait, write_start, write_wait = _rmw_helpers(
-        dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, G)
+        dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, G, banks)
 
     @pl.when(nchunks > 0)
     def _():
@@ -639,8 +656,9 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def blend_tiles(table, order, ranges, bg, height, width, tile, chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def blend_tiles(table, order, ranges, bg, height, width, tile, chunk,
+                banks=1):
     """Fused gather + blend: table (P, _PK) per-gaussian rows, order (N_pad,)
     i32 tile/depth-sorted instance->gaussian ids, ranges (T+1,).
 
@@ -648,7 +666,8 @@ def blend_tiles(table, order, ranges, bg, height, width, tile, chunk):
     The kernel gathers rows by DMA inside the tile loop — never
     materializing the (N, _PK) packed array XLA's gather took 35 s to
     build on-chip (outputs/bench/tpu_diag_r3a)."""
-    return _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk)
+    return _blend_fwd_call(table, order, ranges, bg, height, width, tile,
+                           chunk, banks)
 
 
 def _order_2d(order, chunk):
@@ -662,7 +681,8 @@ def _order_2d(order, chunk):
     return jnp.pad(order, (0, M * 128 - order.shape[0])).reshape(M, 128)
 
 
-def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk):
+def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk,
+                    banks=1):
     gy = height // tile
     gx = width // tile
     PIX = tile * tile
@@ -680,7 +700,7 @@ def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk):
         ],
         scratch_shapes=[
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, banks)),
             pltpu.SMEM((2, _idx_rows(chunk), 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_CCH, PIX), jnp.float32),
@@ -688,7 +708,8 @@ def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk):
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk, grid_x=gx)
+    kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk, grid_x=gx,
+                               banks=banks)
     out, t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -701,12 +722,14 @@ def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk):
     return out, t
 
 
-def _blend_fwd(table, order, ranges, bg, height, width, tile, chunk):
-    out, t = _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk)
+def _blend_fwd(table, order, ranges, bg, height, width, tile, chunk,
+               banks=1):
+    out, t = _blend_fwd_call(table, order, ranges, bg, height, width, tile,
+                             chunk, banks)
     return (out, t), (table, order, ranges, bg, out, t)
 
 
-def _blend_bwd(height, width, tile, chunk, res, grads):
+def _blend_bwd(height, width, tile, chunk, banks, res, grads):
     table, order, ranges, bg, out, t = res
     g_out, g_t = grads
     del g_t  # final_T treated as an auxiliary, non-differentiable output
@@ -732,15 +755,16 @@ def _blend_bwd(height, width, tile, chunk, res, grads):
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, banks)),
+            pltpu.SemaphoreType.DMA((2, banks)),
+            pltpu.SemaphoreType.DMA((2, banks)),
             pltpu.SMEM((2, _idx_rows(chunk), 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((8, PIX), jnp.float32),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, tile=tile, chunk=chunk, grid_x=gx)
+    kernel = functools.partial(_bwd_kernel, tile=tile, chunk=chunk, grid_x=gx,
+                               banks=banks)
     # the gradient table is accumulated IN PLACE by the kernel's row DMAs:
     # a zeros array rides in as the aliased input so untouched gaussians
     # keep zero gradients (input 7 counting the scalar-prefetch operand)
@@ -844,7 +868,7 @@ def rasterize(
 
     bg_ext = jnp.concatenate([bg, jnp.zeros(_CCH - NUM_CHANNELS, bg.dtype)])
     out4, _ = blend_tiles(per_gauss, order, ranges, bg_ext, H, W, tile,
-                          settings.chunk)
+                          settings.chunk, settings.dma_banks)
     out = _tiled_to_image(out4, H, W, tile)  # (H, W, CCH)
 
     color = jnp.transpose(out[:, :, :NUM_CHANNELS], (2, 0, 1))

@@ -99,7 +99,7 @@ def rasterize_row_sharded(
         order = jnp.concatenate([order, jnp.zeros((pad_rows,), order.dtype)])
         bg_ext = jnp.concatenate([bg_, jnp.zeros(_CCH - NUM_CHANNELS, bg_.dtype)])
         out4, _ = blend_tiles(per_gauss, order, ranges, bg_ext, Hl, W,
-                              settings.tile, G)
+                              settings.tile, G, settings.dma_banks)
         out = _tiled_to_image(out4, Hl, W, settings.tile)
         color = jnp.transpose(out[:, :, :NUM_CHANNELS], (2, 0, 1))  # (C, Hl, W)
         invdepth = out[:, :, NUM_CHANNELS][None]

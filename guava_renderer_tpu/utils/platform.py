@@ -41,11 +41,12 @@ def pin_platform(platform: str | None, host_devices: int | None = None) -> None:
             jax.config.update("jax_platforms", platform)
         except Exception:
             pass  # backend already initialized; env pin still helps children
-    if platform:
+    if platform in ("axon", "tpu"):
         # Persistent compilation cache: remote TPU compiles of the full
-        # 512^2 pipeline take tens of minutes through the tunnel (and the
-        # one-core CPU host takes minutes for the same trace); caching
-        # compiled executables makes every later run start hot.
+        # 512^2 pipeline take tens of minutes through the tunnel; caching
+        # compiled executables makes every later run start hot. CPU stays
+        # uncached: XLA:CPU AOT reloads warn about machine-feature
+        # mismatches ("could lead to SIGILL") on this host.
         cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                "/root/repo/.jax_cache")
         try:

@@ -32,6 +32,10 @@ VARIANTS = [
     ("budget512k", dict(tile=16, chunk=32, tpg=4, bf16=False,
                         instance_budget=512 * 1024)),
     ("tile32-chunk64-bf16ref", dict(tile=32, chunk=64, tpg=4, bf16=True)),
+    ("banks4", dict(tile=16, chunk=32, tpg=4, bf16=False, dma_banks=4)),
+    ("banks8", dict(tile=16, chunk=32, tpg=4, bf16=False, dma_banks=8)),
+    ("tile32-banks8", dict(tile=32, chunk=32, tpg=4, bf16=False,
+                           dma_banks=8)),
 ]
 QUICK = [0, 1, 5]
 
@@ -70,6 +74,7 @@ def main():
                 large_k=kw.get("large_k", 8192),
                 tpg_large=kw.get("tpg_large", 32),
                 instance_budget=kw.get("instance_budget"),
+                dma_banks=kw.get("dma_banks", 1),
             )
             fps, P = stats["fps"], stats["P"]
         except Exception:

@@ -298,7 +298,7 @@ def stage_blend(sc):
     order = jnp.concatenate([order, jnp.zeros((pad_rows,), order.dtype)])
     bg = jnp.zeros(_CCH)
     fn = jax.jit(lambda t_, o_, r_: blend_tiles(
-        t_, o_, r_, bg, size, size, st.tile, st.chunk))
+        t_, o_, r_, bg, size, size, st.tile, st.chunk, st.dma_banks))
     _timeit("blend kernel (fused row-gather)", fn, per_gauss, order, ranges)
 
 
@@ -427,7 +427,7 @@ def main():
     ap.add_argument("--stages", default=",".join(STAGES))
     ap.add_argument("--out", default="outputs/bench/tpu_diag")
     ap.add_argument("--platform", default="axon")
-    ap.add_argument("--stage-timeout", type=float, default=900.0)
+    ap.add_argument("--stage-timeout", type=float, default=1800.0)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
