@@ -44,11 +44,98 @@ def build(platform, rows, p_rows):
     return table, jnp.asarray(idx2d)
 
 
+def make_pipelined(name, rows):
+    """Double-buffered row gather across a 1-D grid — the production
+    kernel's structure (start c+1 in the other slot, wait c, consume) —
+    measuring true pipelined ns/row instead of bare DMA latency."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchunks = rows // G
+
+    def kernel(idx_hbm, table_hbm, o_ref, buf, sems, idx_sm, osems, acc_ref):
+        c0 = pl.program_id(0)
+
+        def idx_dma(slot, c):
+            return pltpu.make_async_copy(
+                idx_hbm.at[pl.ds((c * G) // 128, 2)], idx_sm.at[slot],
+                osems.at[slot],
+            )
+
+        def rows_start(slot, c):
+            o = jax.lax.rem(c * G, 128)
+            for g in range(G):
+                q = o + g
+                if name == "contig_pipe":
+                    src = table_hbm.at[
+                        pl.ds(jax.lax.rem(c * 7, 1024) * G + g, 1)]
+                else:
+                    src = table_hbm.at[
+                        pl.ds(idx_sm[slot, q // 128, jax.lax.rem(q, 128)], 1)]
+                pltpu.make_async_copy(
+                    src, buf.at[slot, pl.ds(g, 1)], sems.at[slot]
+                ).start()
+
+        def rows_wait(slot):
+            pltpu.make_async_copy(
+                table_hbm.at[pl.ds(0, G)], buf.at[slot], sems.at[slot]
+            ).wait()
+
+        @pl.when(c0 == 0)
+        def _():
+            acc_ref[0, 0] = 0.0
+            idx_dma(0, 0).start()
+            idx_dma(0, 0).wait()
+            rows_start(0, 0)
+
+        slot = jax.lax.rem(c0, 2)
+
+        @pl.when(c0 + 1 < nchunks)
+        def _():
+            idx_dma(1 - slot, c0 + 1).start()
+            idx_dma(1 - slot, c0 + 1).wait()
+            rows_start(1 - slot, c0 + 1)
+
+        rows_wait(slot)
+        acc_ref[0, 0] += buf[slot, 0, 0]
+
+        @pl.when(c0 == nchunks - 1)
+        def _():
+            o_ref[0, 0] = acc_ref[0, 0]
+
+    def fn(idx2d, table):
+        return pl.pallas_call(
+            kernel,
+            grid=(nchunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, G, _PK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((2, 2, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1, 1), jnp.float32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(idx2d, table)
+
+    return fn
+
+
 def make_variant(name, banks, rows):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if name in ("rows_pipe", "contig_pipe"):
+        return make_pipelined(name, rows)
 
     nchunks = rows // G
 
@@ -156,8 +243,8 @@ def main():
     args = ap.parse_args()
 
     table, idx2d = build(args.platform, args.rows, args.p_rows)
-    for name, banks in [("contig", 1), ("rows", 1), ("rows", 2),
-                        ("rows", 4), ("rows", 8), ("rows", 16)]:
+    for name, banks in [("rows_pipe", 1), ("contig_pipe", 1), ("contig", 1),
+                        ("rows", 1), ("rows", 4)]:
         try:
             run_variant(name, banks, args.rows, table, idx2d)
         except Exception as e:  # noqa: BLE001
