@@ -90,3 +90,13 @@ def test_size_classed_gradients_flow(stress_scene):
     for g, name in zip(grads, ("means", "colors", "opac", "scales", "quats")):
         assert bool(jnp.all(jnp.isfinite(g))), name
         assert float(jnp.abs(g).max()) > 0, name
+
+def test_tile32_parity_quality(stress_scene):
+    """The parity config runs tile 32 (fewer duplicates, +8% on-chip).
+    Tile size only changes binning granularity/cap geometry, not blending:
+    quality vs the dense oracle must stay far above the 0.5 dB budget."""
+    args, cam, bg, ref = stress_scene
+    st = RasterizeSettings(tile=32, chunk=8, max_tiles_per_gaussian=4,
+                           large_k=64, tpg_large=64)
+    out, _, _ = jax.jit(lambda *a: rasterize(*a, cam, bg, st))(*args)
+    assert _psnr(np.asarray(out), ref) > 60.0
