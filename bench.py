@@ -402,7 +402,7 @@ def main():
     ap.add_argument("--uv", type=int, default=512)
     ap.add_argument("--tile", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=32)
-    ap.add_argument("--tpg", type=int, default=4)
+    ap.add_argument("--tpg", type=int, default=2)
     ap.add_argument("--large-k", type=int, default=8192)
     ap.add_argument("--tpg-large", type=int, default=32)
     ap.add_argument("--banks", type=int, default=1,

@@ -96,7 +96,7 @@ def test_tile32_parity_quality(stress_scene):
     Tile size only changes binning granularity/cap geometry, not blending:
     quality vs the dense oracle must stay far above the 0.5 dB budget."""
     args, cam, bg, ref = stress_scene
-    st = RasterizeSettings(tile=32, chunk=8, max_tiles_per_gaussian=4,
+    st = RasterizeSettings(tile=32, chunk=8, max_tiles_per_gaussian=2,
                            large_k=64, tpg_large=64)
     out, _, _ = jax.jit(lambda *a: rasterize(*a, cam, bg, st))(*args)
     assert _psnr(np.asarray(out), ref) > 60.0

@@ -24,13 +24,13 @@ from bench import BASELINE_FPS, run_bench  # noqa: E402
 
 VARIANTS = [
     # (label, kwargs) — tpg 4 + large(8192x32) is the parity raster block
-    ("parity-f32", dict(tile=32, chunk=32, tpg=4, bf16=False)),
-    ("parity-bf16ref", dict(tile=32, chunk=32, tpg=4, bf16=True)),
+    ("parity-f32", dict(tile=32, chunk=32, tpg=2, bf16=False)),
+    ("parity-bf16ref", dict(tile=32, chunk=32, tpg=2, bf16=True)),
     ("tile16", dict(tile=16, chunk=32, tpg=4, bf16=False)),
     ("tile64", dict(tile=64, chunk=32, tpg=4, bf16=False)),
     ("chunk64", dict(tile=32, chunk=64, tpg=4, bf16=False)),
     ("chunk16", dict(tile=32, chunk=16, tpg=4, bf16=False)),
-    ("tpg2", dict(tile=32, chunk=32, tpg=2, bf16=False)),
+    ("tpg4", dict(tile=32, chunk=32, tpg=4, bf16=False)),
     ("banks8", dict(tile=32, chunk=32, tpg=4, bf16=False, dma_banks=8)),
 ]
 QUICK = [0, 1, 5]

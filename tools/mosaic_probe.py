@@ -254,7 +254,45 @@ def exp_idx2d(jnp, pl, pltpu):
     _compile(fn, jnp.zeros((4,), jnp.int32), jnp.zeros((M, 128), jnp.int32))
 
 
-EXPERIMENTS = ["idx32", "idx1024", "idx2d", "row1", "row1_loop", "row8"]
+def exp_row64(jnp, pl, pltpu):
+    """(1, 64) f32 single-row DMA from a (P, 64) table — half-lane rows.
+    If legal AND dense in HBM, packing _PK=64 halves gather bytes."""
+    import jax
+
+    P = 300_000
+
+    def kernel(s_ref, table_ref, o_ref, buf, sem):
+        idx = s_ref[0]
+        pltpu.make_async_copy(
+            table_ref.at[pl.ds(idx, 1)], buf.at[0, pl.ds(0, 1)], sem
+        ).start()
+        pltpu.make_async_copy(
+            table_ref.at[pl.ds(idx, 1)], buf.at[0, pl.ds(0, 1)], sem
+        ).wait()
+        o_ref[0, :] = buf[0, 0, :]
+
+    def fn(s, table):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((1, 64), lambda i, r: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, 64), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, 64), jnp.float32),
+        )(s, table)
+
+    _compile(fn, jnp.zeros((4,), jnp.int32), jnp.zeros((P, 64), jnp.float32))
+
+
+EXPERIMENTS = ["idx32", "idx1024", "idx2d", "row1", "row1_loop", "row8", "row64"]
 
 
 def run_one(name: str, platform: str) -> tuple[bool, str]:

@@ -93,7 +93,7 @@ def build_scene(size=512, uv=512, body_side=101):
     cam = Camera(R=jnp.asarray(w2c[:3, :3]), t=jnp.asarray(w2c[:3, 3]),
                  tanfovx=jnp.asarray(1.0 / 24.0), tanfovy=jnp.asarray(1.0 / 24.0),
                  width=size, height=size)
-    settings = RasterizeSettings(tile=32, chunk=32, max_tiles_per_gaussian=4,
+    settings = RasterizeSettings(tile=32, chunk=32, max_tiles_per_gaussian=2,
                                  large_k=8192, tpg_large=32)
     base_body = BodyParams(shape=jnp.zeros((1, smplx.n_shape)),
                            body_pose=jnp.zeros((1, 21, 3)))
