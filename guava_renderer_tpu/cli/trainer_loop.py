@@ -93,7 +93,8 @@ def run_training(
         state, init_iter = ckpts.restore(state, basemodel)
         logger.info(f"warm start from {basemodel} at iter {init_iter}")
 
-    loss_fn = make_loss_fn(rt.statics, lpips_params)
+    loss_fn = make_loss_fn(rt.statics, lpips_params,
+                           remat=bool(cfg.TRAIN.get('remat', False)))
     pstep = make_parallel_train_step(loss_fn, optimizer, mesh)
     estep = make_parallel_eval_step(_eval_metrics_fn(rt.statics), mesh)
     vis_fwd = jax.jit(

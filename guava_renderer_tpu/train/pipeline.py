@@ -126,7 +126,8 @@ def forward_pipeline(params: dict, batch: dict, statics: PipelineStatics, rngs=N
     return outputs, avatar, extra
 
 
-def make_loss_fn(statics: PipelineStatics, lpips_params: Any):
+def make_loss_fn(statics: PipelineStatics, lpips_params: Any,
+                 remat: bool = False):
     """Builds loss_fn(params, batch, iteration) -> (loss, metrics).
 
     lpips_params=None swaps the LPIPS term for a cheap multi-scale L2
@@ -149,8 +150,19 @@ def make_loss_fn(statics: PipelineStatics, lpips_params: Any):
 
     opt_loss = OptimizationLoss(statics.loss_cfg, perceptual)
 
+    fwd = lambda params, batch: forward_pipeline(params, batch, statics)  # noqa: E731
+    if remat:
+        # rematerialize the forward in the backward pass instead of saving
+        # every conv/blend activation: at 512^2 the un-remat'd step holds
+        # ~9.4 GiB of temporaries on a 16 GiB chip, capping local batch at
+        # 1. The rasterizer's custom_vjp already replays its own tiles, so
+        # the extra compute is one encoder/decoder/refiner forward.
+        fwd = jax.checkpoint(
+            fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+
     def loss_fn(params, batch, iteration):
-        outputs, avatar, _ = forward_pipeline(params, batch, statics)
+        outputs, avatar, _ = fwd(params, batch)
         tgt = batch["target"]
         total, metrics = opt_loss(
             outputs.renders,

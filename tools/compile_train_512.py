@@ -34,6 +34,8 @@ def main():
                          " compiles the same kernels at any batch)")
     ap.add_argument("--execute", action="store_true",
                     help="also run one real step after compiling")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialized forward (memory-vs-compute lever)")
     ap.add_argument("--dataset-dir", default="/tmp/guava_full_ds")
     args = ap.parse_args()
 
@@ -78,7 +80,7 @@ def main():
     print(f"[{time.time()-t0:7.1f}s] runtime built "
           f"(image {rt.statics.image_size}^2)")
 
-    loss_fn = make_loss_fn(rt.statics, params["lpips"])
+    loss_fn = make_loss_fn(rt.statics, params["lpips"], remat=args.remat)
     optimizer = make_optimizer(
         params["model"],
         learning_rate=float(cfg.OPTIMIZE.learning_rate),

@@ -30,12 +30,14 @@ def main():
     ap.add_argument("--atol", type=float, default=2e-4)
     ap.add_argument("--tile", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--skip-probe", action="store_true",
+                    help="caller already probed the tunnel")
     args = ap.parse_args()
     platform = "axon" if args.platform == "tpu" else args.platform
 
     from guava_renderer_tpu.utils.platform import pin_platform, probe_backend
 
-    if platform == "axon":
+    if platform == "axon" and not args.skip_probe:
         ok, detail = probe_backend(platform, timeout_s=120)
         if not ok:
             print(f"CROSSCHECK SKIPPED: backend unavailable ({detail})")

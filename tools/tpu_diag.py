@@ -428,6 +428,8 @@ def main():
     ap.add_argument("--out", default="outputs/bench/tpu_diag")
     ap.add_argument("--platform", default="axon")
     ap.add_argument("--stage-timeout", type=float, default=1800.0)
+    ap.add_argument("--skip-probe", action="store_true",
+                    help="caller already probed the tunnel")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -444,7 +446,8 @@ def main():
     from guava_renderer_tpu.utils.platform import probe_backend
 
     if args.platform == "axon":
-        ok, detail = probe_backend("axon", timeout_s=120)
+        ok, detail = ((True, "skipped") if args.skip_probe
+                      else probe_backend("axon", timeout_s=120))
         if not ok:
             print(f"DIAG SKIPPED: backend unavailable ({detail})")
             sys.exit(2)

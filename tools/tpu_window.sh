@@ -14,10 +14,10 @@ LOG=${1:-/tmp/tpu_window}
 mkdir -p "$LOG"
 
 echo "=== 1. compiled-vs-interpret-vs-golden crosscheck ==="
-timeout 1500 python tools/crosscheck_tpu.py 2>&1 | tee "$LOG/crosscheck.log"
+timeout 1500 python tools/crosscheck_tpu.py --skip-probe 2>&1 | tee "$LOG/crosscheck.log"
 
 echo "=== 2. per-stage perf breakdown (project/bin/blend/raster/refiner) ==="
-timeout 4800 python tools/tpu_diag.py \
+timeout 4800 python tools/tpu_diag.py --skip-probe \
   --stages project,bin,blend,raster1,refiner,full --out "$LOG/diag" \
   2>&1 | tee "$LOG/diag.log"
 
