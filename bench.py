@@ -62,6 +62,27 @@ def emit(metric: str, value: float, unit: str = "fps", **extra):
     print(json.dumps(rec), flush=True)
 
 
+def _as_args(tree):
+    """Split a pytree into (array_leaves, rebuild): arrays ride as jit
+    ARGUMENTS (closure arrays get embedded as dense MLIR constants — 1.3 GB
+    for the full rig, HTTP 413 from the remote compiler) while python
+    scalars/tuples (EhmModel.n_shape, parents, ...) stay static."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    is_arr = [hasattr(l, "shape") and hasattr(l, "dtype") for l in leaves]
+    arrays = [l for l, a in zip(leaves, is_arr) if a]
+    static = [None if a else l for l, a in zip(leaves, is_arr)]
+
+    def rebuild(arrs):
+        it = iter(arrs)
+        return jax.tree_util.tree_unflatten(
+            treedef, [next(it) if a else s for s, a in zip(static, is_arr)]
+        )
+
+    return arrays, rebuild
+
+
 def _total_cost(fn, *args):
     """(flops, bytes accessed) from XLA cost analysis of jit(fn)(*args).
 
@@ -205,10 +226,16 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
         jaw=jnp.zeros((1, 3)),
     )
 
-    def frame(pose_scale):
+    # Big arrays (avatar, ehm tables, refiner params) ride as jit ARGUMENTS:
+    # closed-over arrays are embedded into the lowered module as dense
+    # constants — ~1.3 GB of MLIR for the full rig, which the tunnel's
+    # remote-compile endpoint rejects with HTTP 413.
+    ehm_arrays, ehm_rebuild = _as_args(ehm)
+
+    def frame(avatar_, ehm_, ref_params_, pose_scale):
         body = base_body._replace(body_pose=base_body.body_pose + pose_scale * 0.01)
-        res = ehm_forward(ehm, body, base_flame)
-        gs = deform_with_vertices(avatar, res.vertices, res.vertex_transforms, faces)
+        res = ehm_forward(ehm_, body, base_flame)
+        gs = deform_with_vertices(avatar_, res.vertices, res.vertex_transforms, faces)
         color, _, _ = rasterize(
             gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0], gs.rotation[0],
             cam, bg, settings,
@@ -216,33 +243,37 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
         feats = jnp.transpose(color, (1, 2, 0))[None]
         if bf16:
             feats = feats.astype(jnp.bfloat16)
-        rgb = refiner.apply(ref_params, feats)
+        rgb = refiner.apply(ref_params_, feats)
         return jnp.sum(rgb.astype(jnp.float32))
 
     # Time by looping inside jit with a data dependency and fetching a
     # scalar — block_until_ready does not sync reliably through the tunnel.
     @jax.jit
-    def run(_):
+    def run(avatar_, ehm_arrs, ref_params_, _):
+        ehm_ = ehm_rebuild(ehm_arrs)
         def body(i, acc):
-            return acc + frame(acc * 1e-12 + i)
+            return acc + frame(avatar_, ehm_, ref_params_, acc * 1e-12 + i)
         return jax.lax.fori_loop(0, frames, body, 0.0)
 
     t0 = time.time()
     print(f"[bench] compiling {frames}-frame loop @{size}^2 ...",
           file=sys.stderr, flush=True)
-    run.lower(0).compile()
+    run.lower(avatar, ehm_arrays, ref_params, 0).compile()
     print(f"[bench] compile done in {time.time()-t0:.0f}s; warming up",
           file=sys.stderr, flush=True)
     t0 = time.time()
-    r = float(run(0))  # warm up
+    r = float(run(avatar, ehm_arrays, ref_params, 0))  # warm up
     print(f"[bench] warmup done in {time.time()-t0:.0f}s", file=sys.stderr,
           flush=True)
     best = 0.0
     for rep in range(1, repeats + 1):
         t0 = time.time()
-        r = float(run(rep))
+        r = float(run(avatar, ehm_arrays, ref_params, rep))
         dt = (time.time() - t0) / frames
         best = max(best, 1.0 / dt)
+    # surface the headline immediately: the infer bench that follows has
+    # its own multi-minute compile and has died mid-tunnel before
+    print(f"[bench] render loop: {best:.2f} fps", file=sys.stderr, flush=True)
 
     stats = {
         "fps": best,
@@ -265,7 +296,10 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     )
     from guava_renderer_tpu.ops.gsplat_project import project_gaussians
 
-    xla_flops, xla_bytes = _total_cost(jax.jit(frame), 0.0)
+    xla_flops, xla_bytes = _total_cost(
+        jax.jit(lambda av, ea, rp, p: frame(av, ehm_rebuild(ea), rp, p)),
+        avatar, ehm_arrays, ref_params, 0.0,
+    )
 
     res0 = ehm_forward(ehm, base_body, base_flame)
     g0 = deform_with_vertices(avatar, res0.vertices, res0.vertex_transforms, faces)
@@ -359,9 +393,14 @@ def run_infer_bench(platform: str, size: int = 512, uv: int = 512,
     f_bary = jnp.asarray(extras.uvmap_f_bary)
     mask = jnp.asarray(extras.uvmap_mask)
 
-    def create(im):
+    # params/ehm ride as jit ARGUMENTS: as closures they get embedded as
+    # dense constants — 1.3 GB of MLIR that the remote compile endpoint
+    # rejects with HTTP 413 (window 20260817_050316)
+    ehm_arrays, ehm_rebuild = _as_args(ehm)
+
+    def create(params_, ehm_, im):
         avatar, _ = build_avatar(
-            inferer, params, ehm, faces, f_idx, f_bary, mask,
+            inferer, params_, ehm_, faces, f_idx, f_bary, mask,
             im, w2c, body, flame, image_size=size, invtanfov=24.0,
         )
         return (
@@ -370,26 +409,29 @@ def run_infer_bench(platform: str, size: int = 512, uv: int = 512,
         )
 
     @jax.jit
-    def run(seed):
+    def run(params_, ehm_arrs, seed):
+        ehm_ = ehm_rebuild(ehm_arrs)
         def body_fn(i, acc):
-            return acc + create(image + acc * 1e-12 + 0.0 * i)
+            return acc + create(params_, ehm_, image + acc * 1e-12 + 0.0 * i)
         return jax.lax.fori_loop(0, frames, body_fn, jnp.float32(seed) * 0.0)
 
     t0 = time.time()
     print("[bench] compiling avatar-creation path ...", file=sys.stderr,
           flush=True)
-    float(run(0))  # compile + warm up
+    float(run(params, ehm_arrays, 0))  # compile + warm up
     print(f"[bench] infer compile+warmup {time.time()-t0:.0f}s",
           file=sys.stderr, flush=True)
     best_ms = float("inf")
     for rep in range(1, repeats + 1):
         t0 = time.time()
-        float(run(rep))
+        float(run(params, ehm_arrays, rep))
         best_ms = min(best_ms, (time.time() - t0) * 1000.0 / frames)
 
     stats = {"infer_ms": best_ms}
     if cost:
-        fl, by = _total_cost(jax.jit(create), image)
+        fl, by = _total_cost(
+            jax.jit(lambda p_, e_, im: create(p_, ehm_rebuild(e_), im)),
+            params, ehm_arrays, image)
         stats.update(infer_flops=fl, infer_bytes=by)
     return stats
 
