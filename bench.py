@@ -62,27 +62,6 @@ def emit(metric: str, value: float, unit: str = "fps", **extra):
     print(json.dumps(rec), flush=True)
 
 
-def _as_args(tree):
-    """Split a pytree into (array_leaves, rebuild): arrays ride as jit
-    ARGUMENTS (closure arrays get embedded as dense MLIR constants — 1.3 GB
-    for the full rig, HTTP 413 from the remote compiler) while python
-    scalars/tuples (EhmModel.n_shape, parents, ...) stay static."""
-    import jax
-
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    is_arr = [hasattr(l, "shape") and hasattr(l, "dtype") for l in leaves]
-    arrays = [l for l, a in zip(leaves, is_arr) if a]
-    static = [None if a else l for l, a in zip(leaves, is_arr)]
-
-    def rebuild(arrs):
-        it = iter(arrs)
-        return jax.tree_util.tree_unflatten(
-            treedef, [next(it) if a else s for s, a in zip(static, is_arr)]
-        )
-
-    return arrays, rebuild
-
-
 def _total_cost(fn, *args):
     """(flops, bytes accessed) from XLA cost analysis of jit(fn)(*args).
 
@@ -230,7 +209,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     # closed-over arrays are embedded into the lowered module as dense
     # constants — ~1.3 GB of MLIR for the full rig, which the tunnel's
     # remote-compile endpoint rejects with HTTP 413.
-    ehm_arrays, ehm_rebuild = _as_args(ehm)
+    from guava_renderer_tpu.utils.pytrees import split_arrays
+    ehm_arrays, ehm_rebuild = split_arrays(ehm)
 
     def frame(avatar_, ehm_, ref_params_, pose_scale):
         body = base_body._replace(body_pose=base_body.body_pose + pose_scale * 0.01)
@@ -396,7 +376,8 @@ def run_infer_bench(platform: str, size: int = 512, uv: int = 512,
     # params/ehm ride as jit ARGUMENTS: as closures they get embedded as
     # dense constants — 1.3 GB of MLIR that the remote compile endpoint
     # rejects with HTTP 413 (window 20260817_050316)
-    ehm_arrays, ehm_rebuild = _as_args(ehm)
+    from guava_renderer_tpu.utils.pytrees import split_arrays
+    ehm_arrays, ehm_rebuild = split_arrays(ehm)
 
     def create(params_, ehm_, im):
         avatar, _ = build_avatar(

@@ -29,6 +29,7 @@ from ..train.pipeline import _unpack_params
 from ..utils.camera_orbit import generate_novel_view_poses
 from ..utils.logging_utils import SpeedMeter
 from ..utils.ply import save_gaussian_ply
+from ..utils.pytrees import split_arrays
 from .context import Runtime
 
 # identity/pose keys recognized by _unpack_params — everything else in a
@@ -94,16 +95,26 @@ class FramePipeline:
         ehm = rt.ehm
         faces = statics.faces
 
-        def infer_impl(inf_params, image, w2c, src_params):
+        # EHM/UV tables ride as jit ARGUMENTS: embedded as closure
+        # constants they serialize to ~GB of MLIR and the tunnel's remote
+        # compiler rejects the request with HTTP 413 (utils/pytrees.py)
+        ehm_arrays, ehm_rebuild = split_arrays(ehm)
+        self._ehm_arrays = ehm_arrays
+        self._tables = (faces, statics.uvmap_f_idx, statics.uvmap_f_bary,
+                        statics.uvmap_mask)
+
+        def infer_impl(inf_params, ehm_arrs, tables, image, w2c, src_params):
+            ehm_ = ehm_rebuild(ehm_arrs)
+            faces_, f_idx, f_bary, mask = tables
             body, flame = _unpack_params(src_params)
             avatar, extra = build_avatar(
                 statics.inferer,
                 {"params": inf_params},
-                ehm,
-                faces,
-                statics.uvmap_f_idx,
-                statics.uvmap_f_bary,
-                statics.uvmap_mask,
+                ehm_,
+                faces_,
+                f_idx,
+                f_bary,
+                mask,
                 image,
                 w2c,
                 body,
@@ -113,9 +124,11 @@ class FramePipeline:
             )
             return avatar, extra
 
-        def frame_impl(rend_params, avatar, tgt_params, w2c):
+        def frame_impl(rend_params, ehm_arrs, tables, avatar, tgt_params, w2c):
+            ehm_ = ehm_rebuild(ehm_arrs)
+            faces_ = tables[0]
             body, flame = _unpack_params(tgt_params)
-            gs = deform_avatar(avatar, ehm, faces, body, flame)
+            gs = deform_avatar(avatar, ehm_, faces_, body, flame)
             tanfov = jnp.asarray(1.0 / invtanfov, jnp.float32)
             cam = Camera(
                 R=w2c[:3, :3], t=w2c[:3, 3],
@@ -135,6 +148,8 @@ class FramePipeline:
         """One-shot avatar from a source record (ref: test.py:38-56)."""
         avatar, extra = self._infer(
             self.params["inferer"],
+            self._ehm_arrays,
+            self._tables,
             jnp.asarray(source["image"])[None],
             jnp.asarray(source["w2c"])[None],
             _batched_params(source["params"]),
@@ -150,6 +165,8 @@ class FramePipeline:
         as a single device call."""
         render, raw = self._frame(
             self.params["renderer"],
+            self._ehm_arrays,
+            self._tables,
             avatar,
             _batched_params(target["params"]),
             jnp.asarray(target["w2c"]),
