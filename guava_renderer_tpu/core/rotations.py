@@ -80,19 +80,23 @@ def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
     return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
 
 
+def quat_multiply_comps(aw, ax, ay, az, bw, bx, by, bz):
+    """Hamilton product on component arrays (see matrix_to_quat_comps)."""
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
 def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Hamilton product, wxyz. (..., 4) x (..., 4) -> (..., 4)."""
-    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
-    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    return jnp.stack(
-        [
-            aw * bw - ax * bx - ay * by - az * bz,
-            aw * bx + ax * bw + ay * bz - az * by,
-            aw * by - ax * bz + ay * bw + az * bx,
-            aw * bz + ax * by - ay * bx + az * bw,
-        ],
-        axis=-1,
+    w, x, y, z = quat_multiply_comps(
+        a[..., 0], a[..., 1], a[..., 2], a[..., 3],
+        b[..., 0], b[..., 1], b[..., 2], b[..., 3],
     )
+    return jnp.stack([w, x, y, z], axis=-1)
 
 
 def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
@@ -120,26 +124,55 @@ def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r0, r1, r2], axis=-2)
 
 
-def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
-    """R: (..., 3, 3) -> (..., 4) wxyz. Branchless Shepperd's method."""
-    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
-    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
-    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+def matrix_to_quat_comps(m00, m01, m02, m10, m11, m12, m20, m21, m22):
+    """Component form of matrix_to_quat: nine (...,) arrays -> four (...,)
+    arrays (w, x, y, z). On TPU the stacked (..., 3, 3)/(..., 4, 4) layouts
+    lane-pad their trailing dims ~40x; large-N callers (the per-frame
+    deformer over the 262k-splat UV chart) keep everything in flat
+    component arrays instead."""
+    t0 = 1 + m00 + m11 + m22
+    t1 = 1 + m00 - m11 - m22
+    t2 = 1 - m00 + m11 - m22
+    t3 = 1 - m00 - m11 + m22
 
     # Four candidate quaternions, each numerically good in one regime.
-    qw = jnp.stack([1 + m00 + m11 + m22, m21 - m12, m02 - m20, m10 - m01], axis=-1)
-    qx = jnp.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1)
-    qy = jnp.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], axis=-1)
-    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], axis=-1)
-    cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # (..., 4, 4)
-    traces = jnp.stack(
-        [1 + m00 + m11 + m22, 1 + m00 - m11 - m22, 1 - m00 + m11 - m22, 1 - m00 - m11 + m22],
-        axis=-1,
+    cands = (
+        (t0, m21 - m12, m02 - m20, m10 - m01),
+        (m21 - m12, t1, m01 + m10, m02 + m20),
+        (m02 - m20, m01 + m10, t2, m12 + m21),
+        (m10 - m01, m02 + m20, m12 + m21, t3),
     )
-    best = jnp.argmax(traces, axis=-1)
-    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
-    q = quat_normalize(q)
-    return jnp.where(q[..., :1] < 0, -q, q)
+    best01 = t0 >= t1
+    best23 = t2 >= t3
+    tmax01 = jnp.where(best01, t0, t1)
+    tmax23 = jnp.where(best23, t2, t3)
+    front = tmax01 >= tmax23
+
+    def sel(k):
+        a = jnp.where(best01, cands[0][k], cands[1][k])
+        b = jnp.where(best23, cands[2][k], cands[3][k])
+        return jnp.where(front, a, b)
+
+    w, x, y, z = sel(0), sel(1), sel(2), sel(3)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(w * w + x * x + y * y + z * z), _EPS)
+    w, x, y, z = w * inv, x * inv, y * inv, z * inv
+    neg = w < 0
+    return (
+        jnp.where(neg, -w, w),
+        jnp.where(neg, -x, x),
+        jnp.where(neg, -y, y),
+        jnp.where(neg, -z, z),
+    )
+
+
+def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """R: (..., 3, 3) -> (..., 4) wxyz. Branchless Shepperd's method."""
+    w, x, y, z = matrix_to_quat_comps(
+        R[..., 0, 0], R[..., 0, 1], R[..., 0, 2],
+        R[..., 1, 0], R[..., 1, 1], R[..., 1, 2],
+        R[..., 2, 0], R[..., 2, 1], R[..., 2, 2],
+    )
+    return jnp.stack([w, x, y, z], axis=-1)
 
 
 # --------------------------------------------------------------------------

@@ -169,3 +169,84 @@ def test_gradients_flow_to_inferer(setup):
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     total = sum(float(jnp.abs(x).sum()) for x in leaves)
     assert total > 0.0
+
+
+def test_deform_component_form_matches_stacked_spec():
+    """deform_with_vertices runs flat (B, N) component math for the UV
+    chart (stacked small-trailing-dim tensors lane-pad ~40x on TPU); this
+    pins it to the original stacked formulation."""
+    import numpy as np
+
+    from guava_renderer_tpu.avatar.deformer import deform_with_vertices
+    from guava_renderer_tpu.avatar.state import GaussianAvatar
+    from guava_renderer_tpu.core.mesh import face_orientation
+    from guava_renderer_tpu.core.rotations import (
+        matrix_to_quat, quat_multiply, quat_normalize,
+    )
+
+    from guava_renderer_tpu.bodymodel.synthetic import _grid_mesh
+
+    rng = np.random.default_rng(11)
+    gverts, gfaces = _grid_mesh(7, 7)            # well-formed triangles
+    V, F = gverts.shape[0], gfaces.shape[0]
+    N, B = 64, 2
+    verts = jnp.asarray(
+        gverts[None] + rng.normal(0, 0.03, (B, V, 3)), jnp.float32
+    )
+    faces = jnp.asarray(gfaces, jnp.int32)
+    T = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    aa = rng.normal(0, 0.3, (B, V, 3)).astype(np.float32)
+    # random small rotations in the transforms
+    for b in range(B):
+        for v in range(V):
+            th = np.linalg.norm(aa[b, v]) + 1e-9
+            k = aa[b, v] / th
+            K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+            T[b, v, :3, :3] = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+    T = jnp.asarray(T)
+
+    def mk(shape):
+        return jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+
+    quats = rng.normal(size=(B, N, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    vq = rng.normal(size=(B, V, 4)).astype(np.float32)
+    vq /= np.linalg.norm(vq, axis=-1, keepdims=True)
+    bary = rng.dirichlet([1, 1, 1], N).astype(np.float32)
+    avatar = GaussianAvatar(
+        vtx_positions=verts,
+        vtx_colors=mk((B, V, 32)),
+        vtx_opacity=mk((B, V, 1)),
+        vtx_scales=mk((B, V, 3)),
+        vtx_rotations=jnp.asarray(vq),
+        uv_local_xyz=mk((B, N, 3)),
+        uv_colors=mk((B, N, 32)),
+        uv_opacity=mk((B, N, 1)),
+        uv_scales=mk((B, N, 3)),
+        uv_rotations=jnp.asarray(quats),
+        uv_binding_face=jnp.asarray(rng.integers(0, F, N), jnp.int32),
+        uv_face_bary=jnp.asarray(bary),
+        uv_valid=jnp.ones((N,), jnp.float32),
+    )
+
+    out = deform_with_vertices(avatar, verts, T, faces)
+
+    # stacked-form spec (the original implementation)
+    R_face, face_scale = face_orientation(verts, faces, return_scale=True)
+    face_quat = matrix_to_quat(R_face)
+    bind = avatar.uv_binding_face
+    tri = faces[bind]
+    tri_pts = verts[:, tri]
+    centers = jnp.einsum("nk,bnkj->bnj", avatar.uv_face_bary, tri_pts)
+    R_nn = R_face[:, bind]
+    s_nn = face_scale[:, bind]
+    uv_xyz = jnp.einsum("bnij,bnj->bni", R_nn, avatar.uv_local_xyz) * s_nn + centers
+    uv_rot = quat_multiply(face_quat[:, bind], avatar.uv_rotations)
+    uv_scale = avatar.uv_scales * s_nn
+    d_rot = matrix_to_quat(T[:, :, :3, :3])
+    vtx_rot = quat_normalize(quat_multiply(d_rot, avatar.vtx_rotations))
+
+    np.testing.assert_allclose(out.xyz[:, V:], uv_xyz, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out.rotation[:, V:], uv_rot, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out.scaling[:, V:], uv_scale, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out.rotation[:, :V], vtx_rot, rtol=1e-5, atol=1e-5)
