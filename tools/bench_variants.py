@@ -45,12 +45,14 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--body-side", type=int, default=101)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-probe", action="store_true",
+                    help="caller already probed the tunnel")
     args = ap.parse_args()
     platform = "axon" if args.platform == "tpu" else args.platform
 
     from guava_renderer_tpu.utils.platform import probe_backend
 
-    if platform == "axon":
+    if platform == "axon" and not args.skip_probe:
         ok, detail = probe_backend(platform, timeout_s=150)
         if not ok:
             print(json.dumps({"metric": f"sweep skipped: {detail}", "value": 0.0,

@@ -29,6 +29,6 @@ timeout 4800 python tools/compile_train_512.py --platform axon --execute \
   2>&1 | tee "$LOG/compile_train_512.log"
 
 echo "=== 5. variant sweep (tile/chunk/bf16) ==="
-timeout 3600 python tools/bench_variants.py 2>&1 | tee "$LOG/bench_variants.log"
+timeout 3600 python tools/bench_variants.py --skip-probe 2>&1 | tee "$LOG/bench_variants.log"
 
 echo "=== done; logs in $LOG ==="
