@@ -250,16 +250,51 @@ def _proj_bin_inputs(sc):
 
 def stage_bin(sc):
     import jax
+    import jax.numpy as jnp
 
     from guava_renderer_tpu.ops.gsplat import bin_gaussians
+    from guava_renderer_tpu.ops.gsplat_project import tile_rect
 
     proj, contributing = _proj_bin_inputs(sc)
     size, st = sc["size"], sc["settings"]
     fn = jax.jit(lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))
     ranges, order, nv = _timeit(
-        "bin (sort of P*tpg=2.18M)", fn,
+        "bin (full)", fn,
         proj.mean2d, proj.depth, proj.radius, contributing)
     print(f"[bin] num_valid instances = {int(np.asarray(nv))}", flush=True)
+
+    # sub-parts: where does the bin time actually go?
+    P = proj.mean2d.shape[0]
+
+    def presort(d, m, r):
+        x0, y0, x1, y1 = tile_rect(m, r, size, size, st.tile)
+        return jax.lax.sort(
+            (d, x0, y0, x1 - x0, y1 - y0,
+             jnp.arange(P, dtype=jnp.int32)), num_keys=1)[0]
+
+    _timeit("bin.presort (P-row, 6 arrays)", jax.jit(presort),
+            proj.depth, proj.mean2d, proj.radius)
+
+    def topk(r):
+        need = (r * r).astype(jnp.int32)
+        return jax.lax.top_k(need, min(st.large_k, P))[1]
+
+    if st.large_k > 0:
+        _timeit("bin.top_k(8192)", jax.jit(topk),
+                proj.radius.astype(jnp.float32))
+
+    N = P * st.max_tiles_per_gaussian + min(st.large_k, P) * st.tpg_large
+
+    def bigsort(key, payload):
+        return jax.lax.sort((key, payload), num_keys=1)[1]
+
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    key = jnp.asarray(rng.integers(0, 1 << 28, N).astype(_np.int32))
+    payload = jnp.asarray(rng.integers(0, P, N).astype(_np.int32))
+    _timeit(f"bin.bigsort ({N/1e6:.2f}M x 2 i32)", jax.jit(bigsort),
+            key, payload)
 
 
 def stage_gather(sc):
