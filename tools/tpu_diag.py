@@ -33,6 +33,7 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
 
 STAGES = [
     "golden",        # compiled vs interpret vs golden, diff maps
+    "deform",        # EHM forward + avatar deformation (per-frame pose path)
     "project",       # full-scale projection alone
     "bin",           # binning (the big sort) alone
     "blend",         # Pallas blend w/ fused row-gather (fixed binning inputs)
@@ -125,12 +126,14 @@ def _timeit(label, fn, *args, reps=3, iters=8):
     )
 
     def scalarize(out):
+        # FULL sums: slicing [:1] lets XLA dead-code-eliminate everything
+        # not feeding element 0 of elementwise stages (CPU 'deform'
+        # measured 0.0 ms that way); a total reduction forces the whole
+        # computation and costs a bandwidth-trivial extra pass
         leaves = [
             x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")
         ]
-        return sum(
-            jnp.sum(x.reshape(-1)[:1].astype(jnp.float32)) for x in leaves
-        )
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
     @jax.jit
     def run(seed):
@@ -246,6 +249,44 @@ def _proj_bin_inputs(sc):
 
     contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
     return proj, contributing
+
+
+def stage_deform(sc):
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.avatar.deformer import deform_with_vertices
+
+    ehm, avatar, faces = sc["ehm"], sc["avatar"], sc["faces"]
+    fwd = sc["ehm_forward"]
+    body, flame = sc["base_body"], sc["base_flame"]
+
+    def ehm_only(shape):
+        res = fwd(ehm, body._replace(shape=shape), flame)
+        return res.vertices, res.vertex_transforms
+
+    _timeit("deform.ehm_forward", jax.jit(ehm_only), body.shape)
+
+    res = jax.jit(ehm_only)(body.shape)
+    verts, vtrans = res
+
+    def deform_only(v, t):
+        return deform_with_vertices(avatar, v, t, faces)
+
+    _timeit("deform.deform_with_vertices", jax.jit(deform_only), verts, vtrans)
+
+    # gathers alone: the 13 per-texel component gathers from (B, V)
+    bind = avatar.uv_binding_face
+    fb0 = faces[bind, 0]
+
+    def gathers(v):
+        vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+        out = 0.0
+        for f in (faces[bind, 0], faces[bind, 1], faces[bind, 2]):
+            out = out + vx[:, f] + vy[:, f] + vz[:, f]
+        return out
+
+    _timeit("deform.9 component gathers", jax.jit(gathers), verts)
 
 
 def stage_bin(sc):
@@ -445,6 +486,7 @@ def run_stage(name, out_dir, platform):
         return
     sc = build_scene()
     {
+        "deform": stage_deform,
         "project": stage_project,
         "bin": stage_bin,
         "gather": stage_gather,
