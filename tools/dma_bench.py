@@ -240,11 +240,14 @@ def main():
     ap.add_argument("--platform", default="axon")
     ap.add_argument("--rows", type=int, default=262144)
     ap.add_argument("--p-rows", type=int, default=262144)
+    ap.add_argument("--variants", default="rows_pipe:1,contig_pipe:1,contig:1,rows:1,rows:4",
+                    help="comma list of name:banks")
     args = ap.parse_args()
 
     table, idx2d = build(args.platform, args.rows, args.p_rows)
-    for name, banks in [("rows_pipe", 1), ("contig_pipe", 1), ("contig", 1),
-                        ("rows", 1), ("rows", 4)]:
+    pairs = [(v.split(":")[0], int(v.split(":")[1]))
+             for v in args.variants.split(",")]
+    for name, banks in pairs:
         try:
             run_variant(name, banks, args.rows, table, idx2d)
         except Exception as e:  # noqa: BLE001

@@ -21,6 +21,10 @@ timeout 4800 python tools/tpu_diag.py --skip-probe \
   --stages project,bin,blend,raster1,refiner,full --out "$LOG/diag" \
   2>&1 | tee "$LOG/diag.log"
 
+echo "=== 2b. pipelined row-gather DMA bench ==="
+timeout 1800 python tools/dma_bench.py \
+  --variants rows_pipe:1,contig_pipe:1 2>&1 | tee "$LOG/dma_bench.log"
+
 echo "=== 3. parity benchmark (the BENCH number) ==="
 timeout 4800 python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
 
