@@ -435,8 +435,14 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 refiner params+activations (rasterizer stays f32)")
     ap.add_argument("--skip-probe", action="store_true")
-    ap.add_argument("--probe-attempts", type=int, default=2)
+    # the driver runs `python bench.py` once at a time it chooses; surviving
+    # ~20-30 min of tunnel flap is the difference between a recorded number
+    # and a 0.0 (VERDICT r2 item 2: BENCH_r01/r02 both read 0.0)
+    ap.add_argument("--probe-attempts", type=int, default=8)
     ap.add_argument("--probe-timeout", type=float, default=150.0)
+    ap.add_argument("--probe-backoff", type=float, default=60.0)
+    ap.add_argument("--run-attempts", type=int, default=2,
+                    help="full bench attempts (tunnel can die mid-run)")
     ap.add_argument("--skip-infer", action="store_true",
                     help="skip the avatar-creation latency bench")
     ap.add_argument("--skip-cost", action="store_true",
@@ -449,7 +455,7 @@ def main():
     if platform == "axon" and not args.skip_probe:
         ok, detail = probe_backend_retry(
             platform, attempts=args.probe_attempts,
-            timeout_s=args.probe_timeout, backoff_s=20.0,
+            timeout_s=args.probe_timeout, backoff_s=args.probe_backoff,
         )
         if not ok:
             emit(
@@ -459,13 +465,37 @@ def main():
             )
             return
 
-    stats = run_bench(
-        platform, args.frames, args.size, args.uv,
-        args.tile, args.chunk, args.tpg, args.repeats,
-        body_side=args.body_side, bf16=args.bf16, cost=not args.skip_cost,
-        large_k=args.large_k, tpg_large=args.tpg_large,
-        dma_banks=args.banks,
-    )
+    # the run itself can die mid-tunnel: retry the whole bench in a fresh
+    # attempt (compiles are .jax_cache hits the second time)
+    stats = None
+    for attempt in range(1, args.run_attempts + 1):
+        try:
+            stats = run_bench(
+                platform, args.frames, args.size, args.uv,
+                args.tile, args.chunk, args.tpg, args.repeats,
+                body_side=args.body_side, bf16=args.bf16,
+                cost=not args.skip_cost,
+                large_k=args.large_k, tpg_large=args.tpg_large,
+                dma_banks=args.banks,
+            )
+            break
+        except Exception:
+            import traceback as tb
+
+            print(f"[bench] run attempt {attempt}/{args.run_attempts} failed:",
+                  file=sys.stderr, flush=True)
+            tb.print_exc()
+            if attempt == args.run_attempts:
+                emit(
+                    f"self-reenactment render FPS @{args.size}px "
+                    f"(run failed after {args.run_attempts} attempts)",
+                    0.0,
+                )
+                return
+            if platform == "axon" and not args.skip_probe:
+                probe_backend_retry(platform, attempts=4,
+                                    timeout_s=args.probe_timeout,
+                                    backoff_s=args.probe_backoff)
     fps = stats["fps"]
 
     extra = {"fps": round(fps, 2), "device": stats.get("device", "?")}

@@ -118,8 +118,13 @@ def synthetic_ehm(
 
     key = f"rig_b{body_side}_h{head_side}_s{n_shape}_e{n_exp}_u{uv_size}" \
           f"_t{int(add_teeth)}_r{seed}_v1.pkl"
+    # default cache lives under the user's home, NOT a world-writable /tmp
+    # dir: loading a pickle another local user could plant there executes
+    # arbitrary code (ADVICE r2)
+    default_cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "guava_rig")
     cache_path = os.path.join(
-        os.environ.get("GUAVA_RIG_CACHE_DIR", "/tmp/guava_rig_cache"), key)
+        os.environ.get("GUAVA_RIG_CACHE_DIR", default_cache), key)
     if cache and not os.environ.get("GUAVA_NO_RIG_CACHE"):
         try:
             with open(cache_path, "rb") as f:

@@ -337,9 +337,9 @@ def _row_gather_helpers(table_hbm, order_hbm, idx_sm, buf, sems, osems,
 
 
 def _rmw_helpers(dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, chunk,
-                 banks=1):
+                 num, banks=1):
     """Backward-pass read-modify-write accumulation of per-gaussian grads
-    directly into the (P, _PK) gradient table, replacing the XLA
+    directly into the (P+1, _PK) gradient table, replacing the XLA
     scatter-add over per-instance rows (which lowers to a ~20 us/row
     serial loop — ~29 s/step at 512^2, outputs/bench/.../compile_train_512).
 
@@ -347,16 +347,28 @@ def _rmw_helpers(dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, chunk,
     every instance is a distinct gaussian (duplication emits one instance
     per (gaussian, tile), the large/base classes are disjoint), so all
     in-flight reads/writes inside a grid step touch distinct rows. Writes
-    are drained in the epilogue before the next tile may read them."""
+    are drained in the epilogue before the next tile may read them.
+
+    Tail slots (c*G + g >= num) are REDIRECTED to the table's dedicated
+    dump row (last row, sliced off by the caller): a tail slot's index
+    aliases the next tile's run (a gaussian that may ALSO appear earlier in
+    this very chunk), and writing back its stale pre-read value would race
+    with — and in issue order land after — the real accumulated gradient,
+    silently erasing it. The redirect keeps the byte-counted waits uniform
+    (still one row per DMA); garbage accumulating in the dump row is never
+    read back."""
     G = chunk
     B = banks
     per = G // B
+    dump = dtable_hbm.shape[0] - 1
 
     def _each(slot, c, fn):
         o = jax.lax.rem(start + c * G, 128)
+        base = c * G
         for g in range(G):
             q = o + g
-            fn(g, idx_sm[slot, q // 128, jax.lax.rem(q, 128)])
+            idx = idx_sm[slot, q // 128, jax.lax.rem(q, 128)]
+            fn(g, jnp.where(base + g < num, idx, dump))
 
     def acc_start(slot, c):
         _each(slot, c, lambda g, idx: pltpu.make_async_copy(
@@ -556,7 +568,7 @@ def _bwd_kernel(
     idx_dma, rows_start, rows_wait = _row_gather_helpers(
         table_hbm, order_hbm, idx_sm, buf, sems, osems, start, G, banks)
     acc_start, acc_wait, write_start, write_wait = _rmw_helpers(
-        dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, G, banks)
+        dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, G, num, banks)
 
     @pl.when(nchunks > 0)
     def _():
@@ -716,9 +728,18 @@ def _order_2d(order, chunk):
 
 def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk,
                     banks=1):
+    if chunk % banks != 0:
+        raise ValueError(
+            f"chunk ({chunk}) must be divisible by dma_banks ({banks}): the "
+            "byte-counted row-DMA waits absorb chunk//banks rows per bank — "
+            "a remainder would leave un-waited DMAs corrupting later waits")
     gy = height // tile
     gx = width // tile
     PIX = tile * tile
+    if table.shape[0] < chunk:
+        # the byte-counted wait templates slice chunk//banks rows from the
+        # table ref; micro scenes with P < chunk need tail padding
+        table = jnp.pad(table, ((0, chunk - table.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gy, gx),
@@ -763,6 +784,9 @@ def _blend_fwd(table, order, ranges, bg, height, width, tile, chunk,
 
 
 def _blend_bwd(height, width, tile, chunk, banks, res, grads):
+    if chunk % banks != 0:
+        raise ValueError(
+            f"chunk ({chunk}) must be divisible by dma_banks ({banks})")
     table, order, ranges, bg, out, t = res
     g_out, g_t = grads
     del g_t  # final_T treated as an auxiliary, non-differentiable output
@@ -800,16 +824,25 @@ def _blend_bwd(height, width, tile, chunk, banks, res, grads):
                                banks=banks)
     # the gradient table is accumulated IN PLACE by the kernel's row DMAs:
     # a zeros array rides in as the aliased input so untouched gaussians
-    # keep zero gradients (input 7 counting the scalar-prefetch operand)
+    # keep zero gradients (input 7 counting the scalar-prefetch operand).
+    # One extra row (sliced off below) is the tail-slot dump target — see
+    # _rmw_helpers on why tail DMAs must not touch real gaussian rows. Both
+    # tables are padded to >= chunk rows for the wait templates (micro
+    # scenes with P < chunk).
+    P = table.shape[0]
+    rows = max(P + 1, chunk)
+    if table.shape[0] < chunk:
+        table = jnp.pad(table, ((0, chunk - table.shape[0]), (0, 0)))
     d_table = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(table.shape, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((rows, table.shape[1]), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         input_output_aliases={7: 0},
         interpret=_interpret(),
     )(ranges, table, _order_2d(order, chunk), bg.reshape(_CCH, 1), t, out,
-      g_out, jnp.zeros_like(table))[0]
+      g_out, jnp.zeros((rows, table.shape[1]), table.dtype))[0]
+    d_table = d_table[:P]
 
     # d(bg): sum over pixels of T * g_out
     g_bg = jnp.einsum("yxop,yxcp->c", t, g_out)
@@ -867,7 +900,7 @@ def rasterize(
     ranges, order, _ = bin_gaussians(
         jax.lax.stop_gradient(proj.mean2d),
         jax.lax.stop_gradient(proj.depth),
-        proj.radius,
+        proj.radius_bin,
         contributing,
         W, H, settings,
     )

@@ -32,7 +32,11 @@ class ProjectedGaussians(NamedTuple):
     conic: jnp.ndarray       # (P, 3) inverse 2D covariance (a, b, c)
     alpha: jnp.ndarray       # (P,) opacity (x antialiasing scale if enabled)
     depth: jnp.ndarray       # (P,) camera-space z
-    radius: jnp.ndarray      # (P,) int32 pixel radius (0 = culled)
+    radius: jnp.ndarray      # (P,) int32 3-sigma pixel radius (0 = culled);
+    #                          reference-parity semantics (forward.cu:237-240)
+    radius_bin: jnp.ndarray  # (P,) int32 opacity-tightened radius used for
+    #                          tile binning only — renders bit-identically
+    #                          with far fewer instances (see project_gaussians)
     valid: jnp.ndarray       # (P,) bool
 
 
@@ -157,25 +161,30 @@ def project_gaussians(
     det_inv = 1.0 / det_safe
     conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
 
-    # 3-sigma radius from the max eigenvalue (ref: forward.cu:237-240),
-    # tightened per-splat by opacity: a pixel only contributes when
+    # Public radius: 3-sigma from the max eigenvalue, the reference's exact
+    # semantics (ref: forward.cu:237-240). Binning radius: tightened
+    # per-splat by opacity — a pixel only contributes when
     # a0*exp(-power) >= 1/255 (the blend's skip, forward.cu:358-360), i.e.
-    # within sqrt(2*ln(255*a0)) sigmas — for low-opacity splats that is far
+    # within sqrt(2*ln(255*a0)) sigmas; for low-opacity splats that is far
     # inside 3 sigma, so the tighter rect renders bit-identically while
     # duplicating into many fewer tiles (trained avatars carry a large
-    # near-transparent population).
+    # near-transparent population). Consumers using radii for densification
+    # thresholds or CUDA-parity checks get the 3-sigma value (ADVICE r2).
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    sig = jnp.sqrt(jnp.maximum(lam, 0.0))
     a0 = opacities * alpha_scale
     # floor at 0.3 sigma: splats with a0 barely above 1/255 contribute only
     # at their center pixel, which a zero radius would wrongly cull
     nsig = jnp.clip(
         jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * a0, 1.0))), 0.3, 3.0
     )
-    radius_f = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(lam, 0.0)))
+    radius_f = jnp.ceil(3.0 * sig)
+    radius_bin_f = jnp.ceil(nsig * sig)
 
     valid = in_front & nonzero & (radius_f > 0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    radius_bin = jnp.where(valid, radius_bin_f, 0.0).astype(jnp.int32)
 
     return ProjectedGaussians(
         mean2d=mean2d,
@@ -183,6 +192,7 @@ def project_gaussians(
         alpha=opacities * alpha_scale,
         depth=tz,
         radius=radius,
+        radius_bin=radius_bin,
         valid=valid,
     )
 

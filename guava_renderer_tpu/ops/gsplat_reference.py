@@ -48,7 +48,7 @@ def rasterize_reference(
     C = colors.shape[-1]
     H, W = cam.height, cam.width
 
-    rx0, ry0, rx1, ry1 = _tile_rect(proj.mean2d, proj.radius, W, H, tile)
+    rx0, ry0, rx1, ry1 = _tile_rect(proj.mean2d, proj.radius_bin, W, H, tile)
 
     # global front-to-back order (depth ascending); invalid at the end
     order = jnp.argsort(jnp.where(proj.valid, proj.depth, jnp.inf))

@@ -76,7 +76,7 @@ def rasterize_row_sharded(
         ranges, order, _ = bin_gaussians(
             jax.lax.stop_gradient(mean2d_local),
             jax.lax.stop_gradient(proj.depth),
-            proj.radius,
+            proj.radius_bin,
             contributing,
             W, Hl, settings,
         )

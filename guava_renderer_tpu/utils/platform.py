@@ -47,8 +47,12 @@ def pin_platform(platform: str | None, host_devices: int | None = None) -> None:
         # compiled executables makes every later run start hot. CPU stays
         # uncached: XLA:CPU AOT reloads warn about machine-feature
         # mismatches ("could lead to SIGILL") on this host.
+        # default derived from the repo root at runtime (utils/ is two
+        # levels below it) so non-/root/repo checkouts still get a cache
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/root/repo/.jax_cache")
+                               os.path.join(repo_root, ".jax_cache"))
         try:
             import jax
 
@@ -106,10 +110,20 @@ def probe_backend_retry(
     attempts: int = 3,
     timeout_s: float = 120.0,
     backoff_s: float = 20.0,
+    verbose: bool = True,
 ) -> tuple[bool, str]:
+    """Probe with bounded retries; progress on stderr so a driver-captured
+    timeout is diagnosable from the log (VERDICT r2 item 2)."""
     detail = "no attempts"
     for i in range(attempts):
+        t0 = time.time()
         ok, detail = probe_backend(platform, timeout_s)
+        if verbose:
+            print(
+                f"[probe] attempt {i + 1}/{attempts}: "
+                f"{'OK' if ok else detail} ({time.time() - t0:.0f}s)",
+                file=sys.stderr, flush=True,
+            )
         if ok:
             return True, detail
         if i + 1 < attempts:

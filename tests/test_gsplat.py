@@ -239,6 +239,69 @@ def test_instance_budget_truncation_is_fair_across_tiles():
         assert np.abs(img[:, y : y + 16, :]).max() > 1e-3, f"tile row {y} empty"
 
 
+def test_gradients_border_straddling_short_runs():
+    """Regression (ADVICE r2, high): backward RMW tail slots must not erase
+    real gradient accumulations.
+
+    Splats sitting exactly on tile borders are duplicated into adjacent
+    tiles; with per-tile runs shorter than the chunk, a tile's last chunk
+    over-reads into the NEXT tile's instances — gaussians that may also
+    appear as real slots in the same chunk. Before the dump-row redirect,
+    the tail's stale write-back landed after the real accumulated gradient
+    and silently erased it (observed up to 170% relative error)."""
+    rng = np.random.default_rng(42)
+    P = 6
+    means = np.zeros((P, 3), np.float32)
+    # camera at origin, fov 0.5, 32px image, tile 16: the x=16px tile
+    # border is NDC x=0 -> world x=0 at any depth. Put every splat on the
+    # border with enough scale to straddle both tiles.
+    means[:, 0] = rng.normal(0, 0.002, P)
+    means[:, 1] = rng.uniform(-0.3, 0.3, P)
+    means[:, 2] = rng.uniform(2.5, 3.5, P)
+    colors = jnp.asarray(rng.uniform(0, 1, (P, C)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.4, 0.9, (P, 1)), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.1, 0.2, (P, 3)), jnp.float32)
+    quats = np.asarray(rng.normal(size=(P, 4)), np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    means, quats = jnp.asarray(means), jnp.asarray(quats)
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+    target = jnp.full((C, 32, 32), 0.25)
+    settings = RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=8)
+
+    def loss_pallas(m, c, o, s, q):
+        out, _, _ = rasterize(m, c, o, s, q, cam, bg, settings)
+        return jnp.mean((out - target) ** 2)
+
+    def loss_ref(m, c, o, s, q):
+        out, _, _ = rasterize_reference(m, c, o, s, q, cam, bg)
+        return jnp.mean((out - target) ** 2)
+
+    args = (means, colors, opac, scales, quats)
+    # forward must already agree (the bug was gradient-only)
+    out_p, _, _ = rasterize(*args, cam, bg, settings)
+    out_r, _, _ = rasterize_reference(*args, cam, bg)
+    np.testing.assert_allclose(out_p, out_r, atol=3e-5)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for n, a, b in zip(["means", "colors", "opac", "scales", "quats"], gp, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4, err_msg=n)
+
+
+def test_chunk_not_divisible_by_banks_raises():
+    """Regression (ADVICE r2, medium): a dma_banks that does not divide
+    chunk would leave un-waited row DMAs (silent corruption on TPU)."""
+    cam = make_cam(32)
+    rng = np.random.default_rng(0)
+    args = make_scene(rng, P=8)
+    with pytest.raises(ValueError, match="divisible by dma_banks"):
+        rasterize(*args, cam, jnp.zeros(C),
+                  RasterizeSettings(chunk=8, dma_banks=3))
+
+
 def test_zero_opacity_gaussians_are_free_and_invisible():
     """alpha < 1/255 is culled before binning with zero image effect."""
     cam = make_cam(32)

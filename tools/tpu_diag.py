@@ -301,7 +301,7 @@ def stage_bin(sc):
     fn = jax.jit(lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))
     ranges, order, nv = _timeit(
         "bin (full)", fn,
-        proj.mean2d, proj.depth, proj.radius, contributing)
+        proj.mean2d, proj.depth, proj.radius_bin, contributing)
     print(f"[bin] num_valid instances = {int(np.asarray(nv))}", flush=True)
 
     # sub-parts: where does the bin time actually go?
@@ -314,7 +314,7 @@ def stage_bin(sc):
              jnp.arange(P, dtype=jnp.int32)), num_keys=1)[0]
 
     _timeit("bin.presort (P-row, 6 arrays)", jax.jit(presort),
-            proj.depth, proj.mean2d, proj.radius)
+            proj.depth, proj.mean2d, proj.radius_bin)
 
     def topk(r):
         need = (r * r).astype(jnp.int32)
@@ -322,7 +322,7 @@ def stage_bin(sc):
 
     if st.large_k > 0:
         _timeit("bin.top_k(8192)", jax.jit(topk),
-                proj.radius.astype(jnp.float32))
+                proj.radius_bin.astype(jnp.float32))
 
     N = P * st.max_tiles_per_gaussian + min(st.large_k, P) * st.tpg_large
 
@@ -348,7 +348,7 @@ def stage_gather(sc):
     size, st = sc["size"], sc["settings"]
     ranges, order, nv = jax.jit(
         lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))(
-        proj.mean2d, proj.depth, proj.radius, contributing)
+        proj.mean2d, proj.depth, proj.radius_bin, contributing)
     P = proj.mean2d.shape[0]
     per_gauss = jnp.zeros((P, _PK), jnp.float32)
     fn = jax.jit(lambda pg, o: pg[o])
@@ -365,7 +365,7 @@ def stage_blend(sc):
     size, st = sc["size"], sc["settings"]
     ranges, order, nv = jax.jit(
         lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))(
-        proj.mean2d, proj.depth, proj.radius, contributing)
+        proj.mean2d, proj.depth, proj.radius_bin, contributing)
     P = proj.mean2d.shape[0]
     rng = np.random.default_rng(1)
     per_gauss = jnp.asarray(rng.uniform(0, 0.5, (P, _PK)), jnp.float32)
