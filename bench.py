@@ -288,7 +288,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
         settings.scale_modifier, settings.antialiasing,
     )
     contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
-    ranges, _, num_valid = bin_gaussians(
+    ranges, _, num_valid, num_trunc = bin_gaussians(
         proj.mean2d, proj.depth, proj.radius, contributing, size, size, settings,
     )
     lens = np.diff(np.asarray(ranges))
@@ -301,6 +301,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
 
     stats.update(
         instances=int(np.asarray(num_valid)),
+        instances_truncated=int(np.asarray(num_trunc)),
         instances_padded=inst_padded,
         xla_flops=xla_flops,
         raster_flops=raster_flops,

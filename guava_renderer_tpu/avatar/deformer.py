@@ -46,27 +46,39 @@ def deform_with_vertices(
     vertex_transforms: jnp.ndarray,  # (B, V, 4, 4)
     faces: jnp.ndarray,              # (F, 3)
 ) -> GaussianSet:
-    """All UV-chart math runs on flat (B, N) COMPONENT arrays: stacked
-    (B, N, 3, 3)/(B, N, 4) tensors lane-pad their trailing dims ~40x on
-    TPU and made this per-frame path cost ~17 ms of the 59 ms frame
-    (outputs/bench/tpu_window_20260817_064208/diag.log). The math is
-    face_orientation/matrix_to_quat/quat_multiply verbatim, unstacked."""
+    """UV-chart deformation, face-table factorized for TPU.
+
+    TPU gathers cost ~20 ns/ROW regardless of row width (tools/
+    gather_probe.py: one (N,) scalar gather 5.8 ms == one (N,16) row
+    gather 5.4 ms at N=262k), so the per-texel math is reorganized to
+    need exactly ONE texel-sized gather:
+
+      1. per-FACE (F ~ 27k, ~10x smaller than N texels): gather the
+         triangle corners, build the TBN frame, convert it to a quat,
+         compute the isotropic face scale, and pack quat/scale/corner/
+         edges into a 16-channel face table;
+      2. per-TEXEL: one (B, N, 16) row gather of that table by the
+         static binding-face index, then pure VPU component math
+         (quat->R reconstruction, barycentric center, local transform).
+
+    Replaces the 9 scalar (B,N)<-(B,V) gathers that made this path cost
+    21.3 ms of the 61 ms frame (outputs/bench/tpu_diag_r4_deform).
+    Math parity with the stacked spec (face_orientation + matrix_to_quat
+    + quat_multiply) is pinned by test_deform_component_form_matches_
+    stacked_spec; ref: models/UbodyAvatar/ubody_gaussian.py:245-289."""
     B = vertices.shape[0]
+    F = faces.shape[0]
 
     # ---- vertex set (V ~ 21k: the stacked forms stay affordable) ----
     vtx_xyz = vertices
     d_rot = matrix_to_quat(vertex_transforms[:, :, :3, :3])
     vtx_rot = quat_normalize(quat_multiply(d_rot, avatar.vtx_rotations))
 
-    # ---- uv set, component form ----
-    bind = avatar.uv_binding_face                      # (N,)
-    vx, vy, vz = vertices[..., 0], vertices[..., 1], vertices[..., 2]
-    fb0, fb1, fb2 = faces[bind, 0], faces[bind, 1], faces[bind, 2]
-
-    # bound-triangle vertex components (B, N)
-    ax, ay, az = vx[:, fb0], vy[:, fb0], vz[:, fb0]
-    bx, by, bz = vx[:, fb1], vy[:, fb1], vz[:, fb1]
-    cx, cy, cz = vx[:, fb2], vy[:, fb2], vz[:, fb2]
+    # ---- per-face table, component form (B, F) ----
+    tri = vertices[:, faces.reshape(-1)].reshape(B, F, 3, 3)
+    ax, ay, az = tri[..., 0, 0], tri[..., 0, 1], tri[..., 0, 2]
+    bx, by, bz = tri[..., 1, 0], tri[..., 1, 1], tri[..., 1, 2]
+    cx, cy, cz = tri[..., 2, 0], tri[..., 2, 1], tri[..., 2, 2]
 
     # tangent t = normalize(b - a); e2 = c - a
     e1x, e1y, e1z = bx - ax, by - ay, bz - az
@@ -89,34 +101,58 @@ def deform_with_vertices(
     # isotropic face scale = (|e1| + |dot(bt, e2)|) / 2
     s0 = jnp.sqrt(e1x * e1x + e1y * e1y + e1z * e1z)
     s1 = jnp.abs(ux_ * e2x + uy_ * e2y + uz_ * e2z)
-    s_nn = (s0 + s1) * 0.5                             # (B, N)
+    fs = (s0 + s1) * 0.5                               # (B, F)
 
-    # face frame R has COLUMNS [t, n, bt] -> rows are the components below
+    # face frame R has COLUMNS [t, n, bt]; carry it as a unit quat (4
+    # channels instead of 9 keeps the table one 16-lane row)
     fw, fx_, fy_, fz_ = matrix_to_quat_comps(
         tx, nx_, ux_, ty, ny_, uy_, tz, nz_, uz_,
     )
 
-    # barycentric center
+    ftable = jnp.stack(
+        [fw, fx_, fy_, fz_, fs, ax, ay, az,
+         e1x, e1y, e1z, e2x, e2y, e2z,
+         jnp.zeros_like(fs), jnp.zeros_like(fs)], axis=-1,
+    )                                                  # (B, F, 16)
+
+    # ---- per-texel: ONE row gather + VPU component math ----
+    rows = ftable[:, avatar.uv_binding_face]           # (B, N, 16)
+    qw, qx, qy, qz = rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
+    s_nn = rows[..., 4]
+    ax, ay, az = rows[..., 5], rows[..., 6], rows[..., 7]
+    e1x, e1y, e1z = rows[..., 8], rows[..., 9], rows[..., 10]
+    e2x, e2y, e2z = rows[..., 11], rows[..., 12], rows[..., 13]
+
+    # unit quat -> rotation matrix components (columns t, n, bt)
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    r00, r01, r02 = 1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)
+    r10, r11, r12 = 2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)
+    r20, r21, r22 = 2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)
+
+    # barycentric center: u0*a + u1*b + u2*c == (u0+u1+u2)*a + u1*e1 + u2*e2
     u0 = avatar.uv_face_bary[None, :, 0]
     u1 = avatar.uv_face_bary[None, :, 1]
     u2 = avatar.uv_face_bary[None, :, 2]
-    ctr_x = u0 * ax + u1 * bx + u2 * cx
-    ctr_y = u0 * ay + u1 * by + u2 * cy
-    ctr_z = u0 * az + u1 * bz + u2 * cz
+    us = u0 + u1 + u2
+    ctr_x = us * ax + u1 * e1x + u2 * e2x
+    ctr_y = us * ay + u1 * e1y + u2 * e2y
+    ctr_z = us * az + u1 * e1z + u2 * e2z
 
-    # position = R @ local * s + center  (columns t/n/bt)
+    # position = R @ local * s + center
     lx = avatar.uv_local_xyz[..., 0]
     ly = avatar.uv_local_xyz[..., 1]
     lz = avatar.uv_local_xyz[..., 2]
-    px = (tx * lx + nx_ * ly + ux_ * lz) * s_nn + ctr_x
-    py = (ty * lx + ny_ * ly + uy_ * lz) * s_nn + ctr_y
-    pz = (tz * lx + nz_ * ly + uz_ * lz) * s_nn + ctr_z
+    px = (r00 * lx + r01 * ly + r02 * lz) * s_nn + ctr_x
+    py = (r10 * lx + r11 * ly + r12 * lz) * s_nn + ctr_y
+    pz = (r20 * lx + r21 * ly + r22 * lz) * s_nn + ctr_z
     uv_xyz = jnp.stack([px, py, pz], axis=-1)
 
     # rotation = face_quat o stored quat
     q = avatar.uv_rotations
     rw, rx, ry, rz = quat_multiply_comps(
-        fw, fx_, fy_, fz_, q[..., 0], q[..., 1], q[..., 2], q[..., 3],
+        qw, qx, qy, qz, q[..., 0], q[..., 1], q[..., 2], q[..., 3],
     )
     uv_rot = jnp.stack([rw, rx, ry, rz], axis=-1)
 

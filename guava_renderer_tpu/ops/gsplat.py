@@ -103,11 +103,19 @@ def bin_gaussians(
     width: int,
     height: int,
     settings: RasterizeSettings,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Duplicate-with-keys + sort. Returns (ranges (T+1,), order (N,), num_valid).
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Duplicate-with-keys + sort.
 
+    Returns (ranges (T+1,), order (N,), num_valid, num_truncated).
     `order` indexes into the per-gaussian arrays; instances are grouped by
     tile and depth-ascending within each tile, invalid entries at the end.
+
+    `num_truncated` counts tile instances LOST to the static caps (the
+    per-gaussian `tpg`/`tpg_large` duplication budgets and the optional
+    global `instance_budget`) — the CUDA reference is uncapped
+    (rasterizer_impl.cu:292-301), so any nonzero value here is a quality
+    delta vs the reference; bench/diag surface it so the silent cap is a
+    visible number.
     """
     tile = settings.tile
     tpg = settings.max_tiles_per_gaussian
@@ -120,6 +128,8 @@ def bin_gaussians(
     rw = x1 - x0
     rh = y1 - y0
     valid = valid & (rw > 0) & (rh > 0)
+    # every tile instance an uncapped duplication would emit
+    num_potential = jnp.sum(jnp.where(valid, rw * rh, 0))
 
     def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, depth_, cap):
         """Rect -> up-to-`cap` (tile_id, gid, depth) rows, truncated
@@ -198,6 +208,7 @@ def bin_gaussians(
             (tile_flat, rank_flat, gid_flat), num_keys=2
         )
     num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
+    num_truncated = num_potential - num_valid  # lost to tpg/tpg_large caps
 
     if settings.instance_budget is not None and settings.instance_budget < order.shape[0]:
         # Fair truncation: keep each tile's CLOSEST instances (round-robin by
@@ -215,11 +226,13 @@ def bin_gaussians(
         keep_pos = jnp.sort(keep_pos[: settings.instance_budget])  # restore (tile, depth)
         sorted_tile = sorted_tile[keep_pos]
         order = order[keep_pos]
+        num_truncated = num_truncated + jnp.maximum(
+            num_valid - settings.instance_budget, 0)
 
     ranges = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), method="scan"
     ).astype(jnp.int32)
-    return ranges, order, num_valid
+    return ranges, order, num_valid, num_truncated
 
 
 # ---------------------------------------------------------------------------
@@ -897,7 +910,7 @@ def rasterize(
     contributing = proj.valid & (
         jax.lax.stop_gradient(proj.alpha) >= ALPHA_MIN
     )
-    ranges, order, _ = bin_gaussians(
+    ranges, order, _, _ = bin_gaussians(
         jax.lax.stop_gradient(proj.mean2d),
         jax.lax.stop_gradient(proj.depth),
         proj.radius_bin,

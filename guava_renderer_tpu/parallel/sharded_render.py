@@ -73,7 +73,7 @@ def rasterize_row_sharded(
         contributing = proj.valid & (
             jax.lax.stop_gradient(proj.alpha) >= ALPHA_MIN
         )
-        ranges, order, _ = bin_gaussians(
+        ranges, order, _, _ = bin_gaussians(
             jax.lax.stop_gradient(mean2d_local),
             jax.lax.stop_gradient(proj.depth),
             proj.radius_bin,

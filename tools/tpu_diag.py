@@ -299,10 +299,11 @@ def stage_bin(sc):
     proj, contributing = _proj_bin_inputs(sc)
     size, st = sc["size"], sc["settings"]
     fn = jax.jit(lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))
-    ranges, order, nv = _timeit(
+    ranges, order, nv, ntr = _timeit(
         "bin (full)", fn,
         proj.mean2d, proj.depth, proj.radius_bin, contributing)
-    print(f"[bin] num_valid instances = {int(np.asarray(nv))}", flush=True)
+    print(f"[bin] num_valid instances = {int(np.asarray(nv))} "
+          f"num_truncated = {int(np.asarray(ntr))}", flush=True)
 
     # sub-parts: where does the bin time actually go?
     P = proj.mean2d.shape[0]
@@ -346,7 +347,7 @@ def stage_gather(sc):
 
     proj, contributing = _proj_bin_inputs(sc)
     size, st = sc["size"], sc["settings"]
-    ranges, order, nv = jax.jit(
+    ranges, order, nv, _ = jax.jit(
         lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))(
         proj.mean2d, proj.depth, proj.radius_bin, contributing)
     P = proj.mean2d.shape[0]
@@ -363,7 +364,7 @@ def stage_blend(sc):
 
     proj, contributing = _proj_bin_inputs(sc)
     size, st = sc["size"], sc["settings"]
-    ranges, order, nv = jax.jit(
+    ranges, order, nv, _ = jax.jit(
         lambda m, d, r, v: bin_gaussians(m, d, r, v, size, size, st))(
         proj.mean2d, proj.depth, proj.radius_bin, contributing)
     P = proj.mean2d.shape[0]
