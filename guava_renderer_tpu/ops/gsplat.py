@@ -155,10 +155,25 @@ def bin_gaussians(
     # through the big N-row sort (measured 10.5 ms of the 59 ms frame,
     # outputs/bench/tpu_window_20260817_064208/diag.log).
     gids0 = jnp.arange(P, dtype=jnp.int32)
-    _, x0, y0, rw, rh, valid_i, gids = jax.lax.sort(
-        (depth, x0, y0, rw, rh, valid.astype(jnp.int32), gids0), num_keys=1
-    )
-    valid = valid_i.astype(jnp.bool_)
+    b = max(int(gx).bit_length(), int(gy).bit_length())
+    if 4 * b + 1 <= 31:
+        # pack the five small rect fields into ONE i32 payload: the sort's
+        # bitonic passes move every payload array each pass, so 3 arrays
+        # (key, rect, gid) instead of 7 cuts the presort's data volume ~2x
+        rect = ((((x0 << b | y0) << b | rw) << b | rh) << 1) | valid.astype(
+            jnp.int32)
+        _, rect, gids = jax.lax.sort((depth, rect, gids0), num_keys=1)
+        valid = (rect & 1).astype(jnp.bool_)
+        rh = (rect >> 1) & ((1 << b) - 1)
+        rw = (rect >> (1 + b)) & ((1 << b) - 1)
+        y0 = (rect >> (1 + 2 * b)) & ((1 << b) - 1)
+        x0 = rect >> (1 + 3 * b)
+    else:
+        _, x0, y0, rw, rh, valid_i, gids = jax.lax.sort(
+            (depth, x0, y0, rw, rh, valid.astype(jnp.int32), gids0),
+            num_keys=1,
+        )
+        valid = valid_i.astype(jnp.bool_)
 
     rank = jnp.arange(P, dtype=jnp.int32)   # position = depth rank
     rank_bits = max(1, int(P - 1).bit_length())
@@ -170,7 +185,20 @@ def bin_gaussians(
         # flat cap loses whole tile rows of big splats otherwise (CUDA ref
         # has no cap at all, rasterizer_impl.cu:292-301)
         need = jnp.where(valid, rw * rh, -1)
-        _, large_pos = jax.lax.top_k(need, large_k)
+        need_bits = int(num_tiles).bit_length()
+        if rank_bits + need_bits + 1 <= 31:
+            # pack (area+1, index) into ONE i32 so top_k sorts a single
+            # array instead of a (value, index) pair — the pair form
+            # measured 3.9 ms of the 11 ms bin stage at P=272k
+            # (outputs/bench/tpu_window_r6/diag.log). Invalid rows pack to
+            # index-only keys (< any valid key), preserving the old
+            # "invalid picked only when fewer than large_k valid" order.
+            packed_need = ((need + 1) << rank_bits) | jnp.arange(
+                P, dtype=jnp.int32)
+            top, _ = jax.lax.top_k(packed_need, large_k)
+            large_pos = top & ((1 << rank_bits) - 1)
+        else:
+            _, large_pos = jax.lax.top_k(need, large_k)
         base_valid = valid.at[large_pos].set(False)
         tile_s, rank_s, _ = duplicate(
             x0, y0, rw, rh, base_valid, rank, depth, tpg)
