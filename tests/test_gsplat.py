@@ -314,3 +314,31 @@ def test_zero_opacity_gaussians_are_free_and_invisible():
         means[:16], colors[:16], opac0[:16], scales[:16], quats[:16], cam, bg
     )
     np.testing.assert_allclose(with_zero, only_active, atol=1e-6)
+
+
+def test_invdepth_gradients_match_reference(scene):
+    """The invdepth output is differentiable like the CUDA rasterizer's
+    (ref: cuda_rasterizer/backward.cu:457-476 dL_invdepths -> means/alpha
+    chain, surfaced at __init__.py:84-141): channel 32 of the packed rows
+    rides the same backward paths as the colors (dcol + the alpha dot), and
+    per_gauss packs invd = 1/depth differentiably (VERDICT r2 item 5)."""
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+    target = jnp.full((1, 32, 32), 0.4)
+
+    def loss_pallas(m, c, o, s, q):
+        _, _, invd = rasterize(m, c, o, s, q, cam, bg, RasterizeSettings(chunk=8))
+        return jnp.mean((invd - target) ** 2)
+
+    def loss_ref(m, c, o, s, q):
+        _, _, invd = rasterize_reference(m, c, o, s, q, cam, bg)
+        return jnp.mean((invd - target) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 2, 3, 4))(means, colors, opac, scales, quats)
+    gr = jax.grad(loss_ref, argnums=(0, 2, 3, 4))(means, colors, opac, scales, quats)
+    assert any(float(jnp.abs(g).max()) > 0 for g in gp), "invdepth grads all zero"
+    for n, a, b in zip(["means", "opac", "scales", "quats"], gp, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4, err_msg=n)
