@@ -433,7 +433,11 @@ def main():
                     help="DMA semaphore banks for the row gather")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--body-side", type=int, default=101)
-    ap.add_argument("--bf16", action="store_true",
+    # bf16 refiner is the measured-best parity variant (+0.6 fps, sweep
+    # outputs/bench/tpu_window_20260817_082058/bench_variants.log) and the
+    # production serving default (MODEL.bf16_refiner); rasterizer stays f32
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="bf16 refiner params+activations (rasterizer stays f32)")
     ap.add_argument("--skip-probe", action="store_true")
     # the driver runs `python bench.py` once at a time it chooses; surviving
