@@ -80,7 +80,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               body_side: int = 101, bf16: bool = False,
               cost: bool = True, large_k: int = 8192,
               tpg_large: int = 32, instance_budget: int | None = None,
-              dma_banks: int = 1) -> dict:
+              dma_banks: int = 1, face_plan: bool = False) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -212,10 +212,28 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     from guava_renderer_tpu.utils.pytrees import split_arrays
     ehm_arrays, ehm_rebuild = split_arrays(ehm)
 
+    # face-sorted UV set + windowed MXU gather for the deformer (the XLA
+    # row gather is ~20 ns/row = ~5 ms/frame at N=262k; ops/facegather.py)
+    plan = cfaces = None
+    if face_plan:
+        from guava_renderer_tpu.avatar.deformer import sort_avatar_by_plan
+        from guava_renderer_tpu.ops.facegather import (
+            build_face_sort_plan, compact_faces,
+        )
+
+        plan = build_face_sort_plan(
+            extras.uvmap_f_idx.reshape(-1), extras.uvmap_mask.reshape(-1)
+        )
+        avatar = jax.tree_util.tree_map(np.asarray, avatar)
+        avatar = sort_avatar_by_plan(avatar, plan)  # host-side, once
+        avatar = jax.tree_util.tree_map(jnp.asarray, avatar)
+        cfaces = jnp.asarray(compact_faces(plan, np.asarray(smplx.faces)))
+
     def frame(avatar_, ehm_, ref_params_, pose_scale):
         body = base_body._replace(body_pose=base_body.body_pose + pose_scale * 0.01)
         res = ehm_forward(ehm_, body, base_flame)
-        gs = deform_with_vertices(avatar_, res.vertices, res.vertex_transforms, faces)
+        gs = deform_with_vertices(avatar_, res.vertices, res.vertex_transforms,
+                                  faces, plan=plan, compact_faces=cfaces)
         color, _, _ = rasterize(
             gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0], gs.rotation[0],
             cam, bg, settings,
@@ -439,6 +457,9 @@ def main():
     ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bf16 refiner params+activations (rasterizer stays f32)")
+    ap.add_argument("--face-plan", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="face-sorted UV set + windowed MXU deformer gather")
     ap.add_argument("--skip-probe", action="store_true")
     # the driver runs `python bench.py` once at a time it chooses; surviving
     # ~20-30 min of tunnel flap is the difference between a recorded number
@@ -481,7 +502,7 @@ def main():
                 body_side=args.body_side, bf16=args.bf16,
                 cost=not args.skip_cost,
                 large_k=args.large_k, tpg_large=args.tpg_large,
-                dma_banks=args.banks,
+                dma_banks=args.banks, face_plan=args.face_plan,
             )
             break
         except Exception:

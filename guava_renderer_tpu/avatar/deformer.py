@@ -6,8 +6,13 @@ composed with the per-vertex LBS transform; UV Gaussians are re-anchored to
 their binding face's TBN frame, position = R_face @ local_xyz * face_scale +
 barycentric center, rotation = face_quat o rotation, scale *= face_scale.
 
-Pure jnp; everything batched and jit-clean (the per-frame cost is a handful
-of gathers + small einsums — XLA fuses the lot).
+Two UV gather paths share the same component math:
+  * default (training / arbitrary order): one XLA (B, N, 16) row gather of
+    the face table by binding face — fully differentiable end to end.
+  * planned (inference hot loop): texels statically sorted by compact
+    binding face (ops/facegather.FaceSortPlan); the gather runs as the
+    windowed one-hot MXU kernel (~20 ns/row XLA gather -> MXU matmuls).
+    Requires a face-sorted avatar (sort_avatar_by_plan) and B == 1.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from ..core.rotations import (
     quat_multiply_comps,
     quat_normalize,
 )
+from ..ops.facegather import FaceSortPlan, face_window_gather
 from .state import GaussianAvatar, GaussianSet
 
 
@@ -31,51 +37,47 @@ def deform_avatar(
     faces: jnp.ndarray,
     body: BodyParams,
     flame: FlameParams | None,
+    plan: FaceSortPlan | None = None,
+    compact_faces: jnp.ndarray | None = None,
 ) -> GaussianSet:
     res = ehm_forward(ehm, body, flame)
-    return deform_with_vertices(avatar, res.vertices, res.vertex_transforms, faces)
+    return deform_with_vertices(
+        avatar, res.vertices, res.vertex_transforms, faces,
+        plan=plan, compact_faces=compact_faces,
+    )
+
+
+def sort_avatar_by_plan(avatar: GaussianAvatar, plan: FaceSortPlan) -> GaussianAvatar:
+    """Reorder the UV set into the plan's face-sorted texel order.
+
+    Applied ONCE per avatar (the permutation is a static array); rendering
+    is order-independent up to depth-tie blending order.
+    """
+    perm = plan.perm
+    return avatar._replace(
+        uv_local_xyz=avatar.uv_local_xyz[:, perm],
+        uv_colors=avatar.uv_colors[:, perm],
+        uv_opacity=avatar.uv_opacity[:, perm],
+        uv_scales=avatar.uv_scales[:, perm],
+        uv_rotations=avatar.uv_rotations[:, perm],
+        uv_binding_face=avatar.uv_binding_face[perm],
+        uv_face_bary=avatar.uv_face_bary[perm],
+        uv_valid=avatar.uv_valid[perm],
+    )
 
 
 def _safe_inv_norm(x, y, z, eps=1e-12):
     return 1.0 / jnp.maximum(jnp.sqrt(x * x + y * y + z * z), eps)
 
 
-def deform_with_vertices(
-    avatar: GaussianAvatar,
-    vertices: jnp.ndarray,          # (B, V, 3) deformed EHM vertices
-    vertex_transforms: jnp.ndarray,  # (B, V, 4, 4)
-    faces: jnp.ndarray,              # (F, 3)
-) -> GaussianSet:
-    """UV-chart deformation, face-table factorized for TPU.
+def _face_table_components(tri):
+    """Triangle corners (..., 3 corners, 3) -> 14 face-frame components.
 
-    TPU gathers cost ~20 ns/ROW regardless of row width (tools/
-    gather_probe.py: one (N,) scalar gather 5.8 ms == one (N,16) row
-    gather 5.4 ms at N=262k), so the per-texel math is reorganized to
-    need exactly ONE texel-sized gather:
-
-      1. per-FACE (F ~ 27k, ~10x smaller than N texels): gather the
-         triangle corners, build the TBN frame, convert it to a quat,
-         compute the isotropic face scale, and pack quat/scale/corner/
-         edges into a 16-channel face table;
-      2. per-TEXEL: one (B, N, 16) row gather of that table by the
-         static binding-face index, then pure VPU component math
-         (quat->R reconstruction, barycentric center, local transform).
-
-    Replaces the 9 scalar (B,N)<-(B,V) gathers that made this path cost
-    21.3 ms of the 61 ms frame (outputs/bench/tpu_diag_r4_deform).
-    Math parity with the stacked spec (face_orientation + matrix_to_quat
-    + quat_multiply) is pinned by test_deform_component_form_matches_
-    stacked_spec; ref: models/UbodyAvatar/ubody_gaussian.py:245-289."""
-    B = vertices.shape[0]
-    F = faces.shape[0]
-
-    # ---- vertex set (V ~ 21k: the stacked forms stay affordable) ----
-    vtx_xyz = vertices
-    d_rot = matrix_to_quat(vertex_transforms[:, :, :3, :3])
-    vtx_rot = quat_normalize(quat_multiply(d_rot, avatar.vtx_rotations))
-
-    # ---- per-face table, component form (B, F) ----
-    tri = vertices[:, faces.reshape(-1)].reshape(B, F, 3, 3)
+    Returns (fw, fx, fy, fz, fs, ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z):
+    the face frame R = [t, n, bt] carried as a unit quat, the isotropic
+    face scale, corner a, and the two edges (parity: compute_face_orientation,
+    ref: utils/graphics_utils.py:61-80).
+    """
     ax, ay, az = tri[..., 0, 0], tri[..., 0, 1], tri[..., 0, 2]
     bx, by, bz = tri[..., 1, 0], tri[..., 1, 1], tri[..., 1, 2]
     cx, cy, cz = tri[..., 2, 0], tri[..., 2, 1], tri[..., 2, 2]
@@ -101,28 +103,22 @@ def deform_with_vertices(
     # isotropic face scale = (|e1| + |dot(bt, e2)|) / 2
     s0 = jnp.sqrt(e1x * e1x + e1y * e1y + e1z * e1z)
     s1 = jnp.abs(ux_ * e2x + uy_ * e2y + uz_ * e2z)
-    fs = (s0 + s1) * 0.5                               # (B, F)
+    fs = (s0 + s1) * 0.5
 
     # face frame R has COLUMNS [t, n, bt]; carry it as a unit quat (4
     # channels instead of 9 keeps the table one 16-lane row)
     fw, fx_, fy_, fz_ = matrix_to_quat_comps(
         tx, nx_, ux_, ty, ny_, uy_, tz, nz_, uz_,
     )
+    return fw, fx_, fy_, fz_, fs, ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z
 
-    ftable = jnp.stack(
-        [fw, fx_, fy_, fz_, fs, ax, ay, az,
-         e1x, e1y, e1z, e2x, e2y, e2z,
-         jnp.zeros_like(fs), jnp.zeros_like(fs)], axis=-1,
-    )                                                  # (B, F, 16)
 
-    # ---- per-texel: ONE row gather + VPU component math ----
-    rows = ftable[:, avatar.uv_binding_face]           # (B, N, 16)
-    qw, qx, qy, qz = rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
-    s_nn = rows[..., 4]
-    ax, ay, az = rows[..., 5], rows[..., 6], rows[..., 7]
-    e1x, e1y, e1z = rows[..., 8], rows[..., 9], rows[..., 10]
-    e2x, e2y, e2z = rows[..., 11], rows[..., 12], rows[..., 13]
+def _uv_from_rows(avatar, qw, qx, qy, qz, s_nn, ax, ay, az,
+                  e1x, e1y, e1z, e2x, e2y, e2z):
+    """Per-texel component math shared by both gather paths.
 
+    All row components and the returned arrays are (B, N)-broadcastable.
+    """
     # unit quat -> rotation matrix components (columns t, n, bt)
     xx, yy, zz = qx * qx, qy * qy, qz * qz
     xy, xz, yz = qx * qy, qx * qz, qy * qz
@@ -160,6 +156,70 @@ def deform_with_vertices(
 
     # invalid chart texels render as nothing
     uv_op = avatar.uv_opacity * avatar.uv_valid[None, :, None]
+    return uv_xyz, uv_rot, uv_scale, uv_op
+
+
+def deform_with_vertices(
+    avatar: GaussianAvatar,
+    vertices: jnp.ndarray,          # (B, V, 3) deformed EHM vertices
+    vertex_transforms: jnp.ndarray,  # (B, V, 4, 4)
+    faces: jnp.ndarray,              # (F, 3)
+    plan: FaceSortPlan | None = None,
+    compact_faces: jnp.ndarray | None = None,
+) -> GaussianSet:
+    """UV-chart deformation, face-table factorized for TPU.
+
+    TPU gathers cost ~20 ns/ROW regardless of row width (tools/
+    gather_probe.py: one (N,) scalar gather 5.8 ms == one (N,16) row
+    gather 5.4 ms at N=262k), so the per-texel math is reorganized to
+    need exactly ONE texel-sized gather:
+
+      1. per-FACE (F ~ 27k, ~10x smaller than N texels): gather the
+         triangle corners, build the TBN frame, convert it to a quat,
+         compute the isotropic face scale, and pack quat/scale/corner/
+         edges into a 16-channel face table;
+      2. per-TEXEL: one (B, N, 16) row gather of that table by the
+         static binding-face index (or, with a FaceSortPlan, the
+         windowed one-hot MXU kernel at a fraction of the cost), then
+         pure VPU component math.
+
+    Math parity with the stacked spec (face_orientation + matrix_to_quat
+    + quat_multiply) is pinned by test_deform_component_form_matches_
+    stacked_spec; ref: models/UbodyAvatar/ubody_gaussian.py:245-289.
+    The planned path requires B == 1 and a face-sorted avatar; its
+    table gradient is exact (custom_vjp), but training keeps the XLA
+    path (the scatter-add back into vertices lowers poorly on TPU).
+    """
+    B = vertices.shape[0]
+
+    # ---- vertex set (V ~ 21k: the stacked forms stay affordable) ----
+    vtx_xyz = vertices
+    d_rot = matrix_to_quat(vertex_transforms[:, :, :3, :3])
+    vtx_rot = quat_normalize(quat_multiply(d_rot, avatar.vtx_rotations))
+
+    if plan is not None:
+        assert B == 1, "planned deformation path is single-identity"
+        assert compact_faces is not None, "pass compact_faces with the plan"
+        tri = vertices[0, compact_faces.reshape(-1)].reshape(-1, 3, 3)
+        comps = _face_table_components(tri)            # 14 x (Fc,)
+        ftable = jnp.stack(
+            list(comps) + [jnp.zeros_like(comps[4])] * 2, axis=-1
+        )                                              # (Fc, 16)
+        rows16 = face_window_gather(
+            ftable, jnp.asarray(plan.compact_ids), plan
+        )                                              # (16, N) channel-major
+        rowc = [rows16[c][None] for c in range(14)]    # (1, N) each
+    else:
+        F = faces.shape[0]
+        tri = vertices[:, faces.reshape(-1)].reshape(B, F, 3, 3)
+        comps = _face_table_components(tri)            # 14 x (B, F)
+        ftable = jnp.stack(
+            list(comps) + [jnp.zeros_like(comps[4])] * 2, axis=-1,
+        )                                              # (B, F, 16)
+        rows = ftable[:, avatar.uv_binding_face]       # (B, N, 16)
+        rowc = [rows[..., c] for c in range(14)]
+
+    uv_xyz, uv_rot, uv_scale, uv_op = _uv_from_rows(avatar, *rowc)
 
     return GaussianSet(
         xyz=jnp.concatenate([vtx_xyz, uv_xyz], axis=1),

@@ -139,10 +139,39 @@ class FramePipeline:
             return (
                 jnp.clip(outputs.renders[0], 0, 1),
                 jnp.clip(outputs.raw_renders[0], 0, 1),
+                outputs.invdepth[0],
+            )
+
+        def planned_frame_impl(plan, cfaces, rend_params, ehm_arrs, tables,
+                               avatar, tgt_params, w2c):
+            ehm_ = ehm_rebuild(ehm_arrs)
+            faces_ = tables[0]
+            body, flame = _unpack_params(tgt_params)
+            gs = deform_avatar(avatar, ehm_, faces_, body, flame,
+                               plan=plan, compact_faces=cfaces)
+            tanfov = jnp.asarray(1.0 / invtanfov, jnp.float32)
+            cam = Camera(
+                R=w2c[:3, :3], t=w2c[:3, 3],
+                tanfovx=tanfov, tanfovy=tanfov,
+                width=image_size, height=image_size,
+            )
+            outputs = statics.renderer.apply({"params": rend_params}, gs, [cam])
+            return (
+                jnp.clip(outputs.renders[0], 0, 1),
+                jnp.clip(outputs.raw_renders[0], 0, 1),
+                outputs.invdepth[0],
             )
 
         self._infer = jax.jit(infer_impl)
         self._frame = jax.jit(frame_impl)
+        self._planned_frame_impl = planned_frame_impl
+        self._planned_frames: dict = {}
+        # windowed MXU deformer gather (ops/facegather.py): the XLA row
+        # gather it replaces is ~20 ns/row on TPU; interpret mode off-TPU
+        # would be slower than the gather, so the plan is TPU-only
+        self._use_plan = jax.default_backend() == "tpu"
+        self._active_plan = None
+        self._active_cfaces = None
 
     def infer_avatar(self, source: dict, prune: bool = True):
         """One-shot avatar from a source record (ref: test.py:38-56)."""
@@ -158,12 +187,39 @@ class FramePipeline:
             avatar = prune_avatar(
                 avatar, float(self.rt.cfg.MODEL.get("opacity_threshold", 0.001))
             )
+        self._active_plan = self._active_cfaces = None
+        n_uv = avatar.uv_local_xyz.shape[1]
+        if self._use_plan and prune and n_uv % 256 == 0:
+            from ..avatar.deformer import sort_avatar_by_plan
+            from ..ops.facegather import build_face_sort_plan, compact_faces
+
+            plan = build_face_sort_plan(
+                np.asarray(avatar.uv_binding_face),
+                np.asarray(avatar.uv_valid),
+            )
+            avatar = sort_avatar_by_plan(avatar, plan)  # numpy, post-prune
+            self._active_plan = plan
+            self._active_cfaces = jnp.asarray(
+                compact_faces(plan, np.asarray(self.rt.statics.faces))
+            )
         return avatar, extra
 
     def render_frame(self, avatar, target: dict) -> dict:
         """Deform + rasterize + refine one target record (ref: test.py:70-80)
         as a single device call."""
-        render, raw = self._frame(
+        plan = self._active_plan
+        if plan is not None:
+            fn = self._planned_frames.get(id(plan))
+            if fn is None:
+                import functools
+
+                fn = jax.jit(functools.partial(
+                    self._planned_frame_impl, plan, self._active_cfaces
+                ))
+                self._planned_frames[id(plan)] = fn
+        else:
+            fn = self._frame
+        render, raw, invdepth = fn(
             self.params["renderer"],
             self._ehm_arrays,
             self._tables,
@@ -171,7 +227,7 @@ class FramePipeline:
             _batched_params(target["params"]),
             jnp.asarray(target["w2c"]),
         )
-        return {"render": render, "raw": raw}
+        return {"render": render, "raw": raw, "invdepth": invdepth}
 
 
 def infer_avatar(rt: Runtime, params: dict, source: dict, prune: bool = True):
@@ -322,11 +378,16 @@ def render_cross_set(
     keep_source_cam: bool = False,
     max_frames: int | None = None,
 ) -> None:
-    """Cross-reenactment (ref: main/test.py:96-139)."""
+    """Cross-reenactment (ref: main/test.py:96-139). Emits speed_info.json
+    like the self-reenactment path (ref: main/test.py:90-94)."""
     os.makedirs(save_path, exist_ok=True)
     pipe = FramePipeline(rt, params)
+    speed = SpeedMeter()
     src = source_dataset[0]
-    avatar, _ = pipe.infer_avatar(src["source"])
+    pipe.infer_avatar(src["source"])  # warm-up (compile)
+    with speed.time_infer():
+        avatar, _ = pipe.infer_avatar(src["source"])
+        jax.block_until_ready(avatar.uv_colors)
     frames = []
     n = len(target_dataset) if max_frames is None else min(max_frames, len(target_dataset))
     for i in range(n):
@@ -335,11 +396,14 @@ def render_cross_set(
         tgt["params"] = change_id_info(tgt["params"], src["source"]["params"])
         if keep_source_cam:
             tgt["w2c"] = src["source"]["w2c"]
-        out = pipe.render_frame(avatar, tgt)
+        with speed.time_frame():
+            out = pipe.render_frame(avatar, tgt)
+            jax.block_until_ready(out["render"])
         render = np.asarray(out["render"])
         _save_png(os.path.join(save_path, f"{i:06d}.png"), render)
         frames.append(render)
     _write_video(os.path.join(save_path, "cross_reenact.mp4"), frames)
+    speed.dump(os.path.join(save_path, "speed_info.json"))
 
 
 def render_novel_views(
@@ -351,11 +415,16 @@ def render_novel_views(
     frame_idx: int = 0,
     num_keyframes: int = 120,
 ) -> None:
-    """Orbit renders, static pose or animated (ref: main/test.py:141-216)."""
+    """Orbit renders, static pose or animated (ref: main/test.py:141-216).
+    Emits speed_info.json like the reference (ref: main/test.py:90-94)."""
     os.makedirs(save_path, exist_ok=True)
     pipe = FramePipeline(rt, params)
+    speed = SpeedMeter()
     first = dataset[frame_idx]
-    avatar, _ = pipe.infer_avatar(first["source"])
+    pipe.infer_avatar(first["source"])  # warm-up (compile)
+    with speed.time_infer():
+        avatar, _ = pipe.infer_avatar(first["source"])
+        jax.block_until_ready(avatar.uv_colors)
     c2w = np.linalg.inv(np.asarray(first["target"]["w2c"]))
     poses = generate_novel_view_poses(c2w, num_keyframes=num_keyframes)
     frames = []
@@ -363,8 +432,11 @@ def render_novel_views(
         rec = first if static else dataset[min(i, len(dataset) - 1)]
         tgt = dict(rec["target"])
         tgt["w2c"] = w2c
-        out = pipe.render_frame(avatar, tgt)
+        with speed.time_frame():
+            out = pipe.render_frame(avatar, tgt)
+            jax.block_until_ready(out["render"])
         render = np.asarray(out["render"])
         _save_png(os.path.join(save_path, f"{i:06d}.png"), render)
         frames.append(render)
     _write_video(os.path.join(save_path, "novel_views.mp4"), frames)
+    speed.dump(os.path.join(save_path, "speed_info.json"))

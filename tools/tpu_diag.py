@@ -44,7 +44,7 @@ STAGES = [
 ]
 # measured r3a: XLA's (2.18M,128) gather = 35.3 s steady — replaced by the
 # in-kernel row gather; "gather" stage kept out of the default list
-EXTRA_STAGES = ["gather"]
+EXTRA_STAGES = ["gather", "refiner2"]
 
 
 # --------------------------------------------------------------------------
@@ -275,6 +275,34 @@ def stage_deform(sc):
 
     _timeit("deform.deform_with_vertices", jax.jit(deform_only), verts, vtrans)
 
+    # planned path: face-sorted UV set + windowed MXU gather (facegather.py)
+    try:
+        import numpy as np
+
+        from guava_renderer_tpu.avatar.deformer import sort_avatar_by_plan
+        from guava_renderer_tpu.ops.facegather import (
+            build_face_sort_plan, compact_faces,
+        )
+
+        plan = build_face_sort_plan(
+            np.asarray(avatar.uv_binding_face), np.asarray(avatar.uv_valid)
+        )
+        av_np = jax.tree_util.tree_map(np.asarray, avatar)
+        av_sorted = jax.tree_util.tree_map(
+            jnp.asarray, sort_avatar_by_plan(av_np, plan)
+        )
+        cfaces = jnp.asarray(compact_faces(plan, np.asarray(faces)))
+
+        def deform_planned(v, t):
+            return deform_with_vertices(
+                av_sorted, v, t, faces, plan=plan, compact_faces=cfaces
+            )
+
+        _timeit("deform.deform_with_vertices (face plan)",
+                jax.jit(deform_planned), verts, vtrans)
+    except Exception as e:  # noqa: BLE001
+        print(f"[deform] planned path FAILED: {str(e)[:300]}", flush=True)
+
     # gathers alone: the 13 per-texel component gathers from (B, V)
     bind = avatar.uv_binding_face
     fb0 = faces[bind, 0]
@@ -445,6 +473,65 @@ def stage_refiner(sc, frames=5):
     _timeit(f"refiner-only x{frames}", run, jnp.float32(0), reps=2)
 
 
+def stage_refiner2(sc, reps=8):
+    """Refiner micro-parts: where do the 9.7 ms actually go?"""
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.models.layers import (
+        downsample2x, resize_bilinear, upsample2x,
+    )
+    from guava_renderer_tpu.models.styleunet import ModulatedConv, StyleMLP
+
+    size = sc["size"]
+
+    def loop(fn, x0):
+        @jax.jit
+        def run(s):
+            def body(i, acc):
+                return acc + jnp.sum(fn(x0 + acc * 1e-12))
+            return jax.lax.fori_loop(0, reps, body, s)
+        return run
+
+    # bilinear up/down chains at the refiner's scales (ch from _CHANNELS)
+    for ch, s in ((16, size), (32, size // 2), (64, size // 4)):
+        x = jnp.zeros((1, s // 2, s // 2, ch))
+        _timeit(f"refiner2.upsample2x {s//2}->{s} ch{ch}",
+                loop(upsample2x, x), jnp.float32(0), reps=2)
+        y = jnp.zeros((1, s, s, ch))
+        _timeit(f"refiner2.downsample2x {s}->{s//2} ch{ch}",
+                loop(downsample2x, y), jnp.float32(0), reps=2)
+
+    # plain 3x3 conv at the top scale
+    import flax.linen as nn
+
+    conv = nn.Conv(16, (3, 3), padding=1)
+    x = jnp.zeros((1, size, size, 16))
+    cp = conv.init(jax.random.PRNGKey(0), x)
+    _timeit(f"refiner2.conv3x3 {size} ch16->16",
+            loop(lambda v: conv.apply(cp, v), x), jnp.float32(0), reps=2)
+
+    # modulated conv at the top scale (the generator's per-scale cost)
+    mc = ModulatedConv(16, 3, 512)
+    st = jnp.zeros((1, 512))
+    mp = mc.init(jax.random.PRNGKey(0), x, st)
+    _timeit(f"refiner2.modconv3x3 {size} ch16->16",
+            loop(lambda v: mc.apply(mp, v, st), x), jnp.float32(0), reps=2)
+
+    # style MLP (8 x 512-dense at batch 1)
+    mlp = StyleMLP(512, 8)
+    sv = jnp.zeros((1, 512))
+    sp = mlp.init(jax.random.PRNGKey(0), sv)
+    _timeit("refiner2.style_mlp 8x512",
+            loop(lambda v: mlp.apply(sp, v), sv), jnp.float32(0), reps=2)
+
+    # full-image bilinear resize (in_size != out_size path)
+    big = jnp.zeros((1, size, size, 32))
+    _timeit(f"refiner2.resize {size}->{size//2} ch32",
+            loop(lambda v: resize_bilinear(v, (size // 2, size // 2)), big),
+            jnp.float32(0), reps=2)
+
+
 def stage_full(sc, frames=3):
     import jax
     import jax.numpy as jnp
@@ -495,6 +582,7 @@ def run_stage(name, out_dir, platform):
         "raster1": stage_raster1,
         "loop_noref": stage_loop_noref,
         "refiner": stage_refiner,
+        "refiner2": stage_refiner2,
         "full": stage_full,
     }[name](sc)
 
