@@ -50,6 +50,31 @@ def _snapshot_run(run_dir: str, rt: Runtime) -> None:
             f.write(rev + "\n")
     except Exception:
         pass
+    # full per-run source snapshot (ref: main/trainer.py:276-294 archives
+    # every .py/.yaml into outputs/.../codes): copy the package + drivers +
+    # configs so a run is reproducible without the git checkout.
+    try:
+        import shutil
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        codes = os.path.join(run_dir, "codes")
+        if os.path.isdir(codes):
+            shutil.rmtree(codes)
+        for sub in ("guava_renderer_tpu", "main", "configs", "tools"):
+            src = os.path.join(repo, sub)
+            if os.path.isdir(src):
+                shutil.copytree(
+                    src, os.path.join(codes, sub),
+                    ignore=shutil.ignore_patterns(
+                        "__pycache__", "*.pyc", "*.so", "*.o", "*.npz", "*.msgpack"
+                    ),
+                )
+        for f in ("bench.py", "create_avatar.py", "render_motion.py", "app.py"):
+            src = os.path.join(repo, f)
+            if os.path.isfile(src):
+                shutil.copy2(src, os.path.join(codes, f))
+    except Exception as e:  # snapshot failure must never kill training
+        print(f"[trainer] codes snapshot failed: {e}")
 
 
 def run_training(
