@@ -275,6 +275,54 @@ def stage_deform(sc):
 
     _timeit("deform.deform_with_vertices", jax.jit(deform_only), verts, vtrans)
 
+    # ehm sub-parts: bisect the 3.6 ms
+    try:
+        from guava_renderer_tpu.bodymodel.ehm import flame_branch
+        from guava_renderer_tpu.core import lbs as lbs_core
+
+        smplx = ehm.smplx
+        B = 1
+        model = ehm
+
+        def fb(shape):
+            return flame_branch(model, flame._replace(shape=shape), B)
+
+        _timeit("ehm.flame_branch", jax.jit(fb), flame.shape)
+
+        def bs(shape):
+            import jax.numpy as jnp
+            sc = jnp.concatenate(
+                [shape, jnp.zeros((B, model.n_exp))], axis=-1)
+            return lbs_core.blend_shapes(sc, smplx["shapedirs"])
+
+        _timeit("ehm.blend_shapes", jax.jit(bs), body.shape)
+
+        template = jnp.asarray(smplx["v_template"])[None] + 0.0
+        joints = lbs_core.vertices2joints(smplx["J_regressor"], template)
+        rot = jnp.broadcast_to(jnp.eye(3), (B, 55, 3, 3))
+
+        def chain(j):
+            return lbs_core.rigid_transform_chain(rot, j, model.smplx_parents)
+
+        _timeit("ehm.rigid_chain", jax.jit(chain), joints)
+
+        _, rel = jax.jit(chain)(joints)
+
+        def skin(r):
+            return lbs_core.skinning_transforms(r, smplx["lbs_weights"])
+
+        _timeit("ehm.skinning_transforms", jax.jit(skin), rel)
+
+        hv = jnp.zeros((B, model.smplx2flame_ind.shape[0], 3))
+
+        def graft(t):
+            return t.at[:, model.smplx2flame_ind].set(hv)
+
+        _timeit("ehm.graft_scatter (.at[].set 5k rows)", jax.jit(graft),
+                template)
+    except Exception as e:  # noqa: BLE001
+        print(f"[deform] ehm sub-stages FAILED: {str(e)[:300]}", flush=True)
+
     # planned path: face-sorted UV set + windowed MXU gather (facegather.py)
     try:
         import numpy as np

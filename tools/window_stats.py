@@ -185,8 +185,8 @@ def main():
                     continue
                 tx0 = (x0v[m] + dx) * tile
                 ty0 = (y0v[m] + dy) * tile
-                ddx = np.clip(mx[m] - np.clip(mx[m], tx0, tx0 + tile - 1), None, None)
-                ddy = np.clip(my[m] - np.clip(my[m], ty0, ty0 + tile - 1), None, None)
+                ddx = mx[m] - np.clip(mx[m], tx0, tx0 + tile - 1)
+                ddy = my[m] - np.clip(my[m], ty0, ty0 + tile - 1)
                 d2 = ddx * ddx + ddy * ddy
                 keep = 0.5 * lam_min[m] * d2 <= thr[m]
                 kept += int(keep.sum())
