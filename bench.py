@@ -80,7 +80,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               body_side: int = 101, bf16: bool = False,
               cost: bool = True, large_k: int = 8192,
               tpg_large: int = 32, instance_budget: int | None = None,
-              dma_banks: int = 1, face_plan: bool = False) -> dict:
+              dma_banks: int = 1, face_plan: bool = False,
+              presort: bool = True) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -182,7 +183,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
                                  max_tiles_per_gaussian=tpg,
                                  large_k=large_k, tpg_large=tpg_large,
                                  instance_budget=instance_budget,
-                                 dma_banks=dma_banks)
+                                 dma_banks=dma_banks, presort=presort)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -457,6 +458,9 @@ def main():
     ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bf16 refiner params+activations (rasterizer stays f32)")
+    ap.add_argument("--presort", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="P-row depth presort in binning (False = 2-key instance sort)")
     ap.add_argument("--face-plan", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="face-sorted UV set + windowed MXU deformer gather")
@@ -503,6 +507,7 @@ def main():
                 cost=not args.skip_cost,
                 large_k=args.large_k, tpg_large=args.tpg_large,
                 dma_banks=args.banks, face_plan=args.face_plan,
+                presort=args.presort,
             )
             break
         except Exception:

@@ -86,6 +86,11 @@ class RasterizeSettings(NamedTuple):
     # several semaphores lets Mosaic map them to distinct DMA queues
     # (parallel descriptor processing). chunk must be divisible by it.
     dma_banks: int = 1
+    # False = skip the P-row depth presort and key the instance sort on
+    # (tile, depth-bits) directly — one fewer ~4 ms pass-bound sort (see
+    # _bin_nopresort). Depth TIES between distinct gaussians then resolve
+    # by duplication order instead of gaussian id (real scenes: no ties).
+    presort: bool = True
     scale_modifier: float = 1.0
     antialiasing: bool = False
 
@@ -148,13 +153,19 @@ def bin_gaussians(
         depth_b = jnp.broadcast_to(depth_[:, None], (n, cap))
         return tid.reshape(-1), gid_b.reshape(-1), depth_b.reshape(-1)
 
+    gids0 = jnp.arange(P, dtype=jnp.int32)
+    if not settings.presort:
+        return _bin_nopresort(
+            depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
+            num_potential, settings, P,
+        )
+
     # Pre-sort the P gaussians by depth (ties keep id order), then
     # duplicate in that order: a STABLE single-key tile sort of the
     # instances then yields per-tile depth order bit-identically to the
     # former (tile, depth) two-key sort — over 3x less key+payload data
     # through the big N-row sort (measured 10.5 ms of the 59 ms frame,
     # outputs/bench/tpu_window_20260817_064208/diag.log).
-    gids0 = jnp.arange(P, dtype=jnp.int32)
     b = max(int(gx).bit_length(), int(gy).bit_length())
     if 4 * b + 1 <= 31:
         # pack the five small rect fields into ONE i32 payload: the sort's
@@ -237,7 +248,78 @@ def bin_gaussians(
         )
     num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
     num_truncated = num_potential - num_valid  # lost to tpg/tpg_large caps
+    return _finish_bin(sorted_tile, order, num_tiles, num_valid,
+                       num_truncated, settings)
 
+
+def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
+                   num_potential, settings, P):
+    """Binning without the P-row depth presort.
+
+    The presorted path exists to shrink the instance-sort payload, but
+    on-chip all three bin sorts measure ~4 ms each regardless of row count
+    or payload width (272k 6-array presort == 272k top_k == 0.81M 2-array
+    instance sort, outputs/bench/tpu_window_r7/diag.log) — the sorts are
+    pass-count bound, not data bound. Dropping the presort removes a whole
+    sort: the instance sort keys on (tile, depth-bits) directly, with the
+    order-preserving monotone f32->i32 bitcast (depths of valid gaussians
+    are positive, and invalid instances key on tile == num_tiles first).
+    Stable sort ties resolve by gaussian id — the same semantics as the
+    CUDA radix sort over [tile|depth] keys (rasterizer_impl.cu:292-311).
+    """
+    tpg = settings.max_tiles_per_gaussian
+    large_k = min(settings.large_k, P)
+    depth_bits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+
+    def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, dkey_, cap):
+        rw_c = jnp.minimum(rw_, cap)
+        rh_c = jnp.minimum(rh_, (cap + rw_c - 1) // jnp.maximum(rw_c, 1))
+        d = jnp.arange(cap, dtype=jnp.int32)
+        dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
+        dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
+        dup_valid = valid_[:, None] & (dy < rh_c[:, None])
+        tid = (y0_[:, None] + dy) * gx + (x0_[:, None] + dx)
+        tid = jnp.where(dup_valid, tid, num_tiles).astype(jnp.int32)
+        n = x0_.shape[0]
+        gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
+        dkey_b = jnp.broadcast_to(dkey_[:, None], (n, cap))
+        return tid.reshape(-1), gid_b.reshape(-1), dkey_b.reshape(-1)
+
+    if large_k > 0:
+        need = jnp.where(valid, rw * rh, -1)
+        id_bits = max(1, int(P - 1).bit_length())
+        if id_bits + int(num_tiles).bit_length() + 1 <= 31:
+            packed_need = ((need + 1) << id_bits) | gids0
+            top, _ = jax.lax.top_k(packed_need, large_k)
+            large_pos = top & ((1 << id_bits) - 1)
+        else:
+            _, large_pos = jax.lax.top_k(need, large_k)
+        base_valid = valid.at[large_pos].set(False)
+        tile_s, gid_s, dk_s = duplicate(
+            x0, y0, rw, rh, base_valid, gids0, depth_bits, tpg)
+        lg = lambda a: a[large_pos]  # noqa: E731
+        tile_l, gid_l, dk_l = duplicate(
+            lg(x0), lg(y0), lg(rw), lg(rh), lg(valid), large_pos,
+            lg(depth_bits), settings.tpg_large,
+        )
+        tile_flat = jnp.concatenate([tile_s, tile_l])
+        gid_flat = jnp.concatenate([gid_s, gid_l])
+        dk_flat = jnp.concatenate([dk_s, dk_l])
+    else:
+        tile_flat, gid_flat, dk_flat = duplicate(
+            x0, y0, rw, rh, valid, gids0, depth_bits, tpg)
+
+    sorted_tile, _, order = jax.lax.sort(
+        (tile_flat, dk_flat, gid_flat), num_keys=2
+    )
+    num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
+    num_truncated = num_potential - num_valid
+    return _finish_bin(sorted_tile, order, num_tiles, num_valid,
+                       num_truncated, settings)
+
+
+def _finish_bin(sorted_tile, order, num_tiles, num_valid, num_truncated,
+                settings):
     if settings.instance_budget is not None and settings.instance_budget < order.shape[0]:
         # Fair truncation: keep each tile's CLOSEST instances (round-robin by
         # depth rank within the tile) instead of chopping the (tile, depth)-

@@ -342,3 +342,37 @@ def test_invdepth_gradients_match_reference(scene):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-4, err_msg=n)
+
+
+def test_nopresort_binning_matches_presort(scene):
+    """settings.presort=False keys the instance sort on (tile, depth-bits)
+    directly — the render must match the presorted path exactly (depths in
+    the scene are distinct, so tie-breaking differences cannot appear)."""
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(48)
+    bg = jnp.linspace(0, 1, C)
+    a = rasterize(means, colors, opac, scales, quats, cam, bg,
+                  RasterizeSettings(chunk=8, large_k=4, tpg_large=16))
+    b = rasterize(means, colors, opac, scales, quats, cam, bg,
+                  RasterizeSettings(chunk=8, large_k=4, tpg_large=16,
+                                    presort=False))
+    for x, y, n in zip(a, b, ["color", "radii", "invdepth"]):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-6, err_msg=n)
+
+
+def test_nopresort_gradients_match(scene):
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+
+    def loss(st):
+        def f(m, c, o, s, q):
+            col, _, _ = rasterize(m, c, o, s, q, cam, bg, st)
+            return jnp.sum(col ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(means, colors, opac, scales, quats)
+
+    ga = loss(RasterizeSettings(chunk=8))
+    gb = loss(RasterizeSettings(chunk=8, presort=False))
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)

@@ -26,6 +26,8 @@ VARIANTS = [
     # (label, kwargs) — tpg 4 + large(8192x32) is the parity raster block
     ("parity-faceplan", dict(tile=32, chunk=32, tpg=2, bf16=True,
                              face_plan=True)),
+    ("parity-fp-nops", dict(tile=32, chunk=32, tpg=2, bf16=True,
+                            face_plan=True, presort=False)),
     ("parity-f32", dict(tile=32, chunk=32, tpg=2, bf16=False)),
     ("parity-bf16ref", dict(tile=32, chunk=32, tpg=2, bf16=True)),
     ("tile16", dict(tile=16, chunk=32, tpg=4, bf16=False)),
@@ -35,7 +37,7 @@ VARIANTS = [
     ("tpg4", dict(tile=32, chunk=32, tpg=4, bf16=False)),
     ("banks8", dict(tile=32, chunk=32, tpg=4, bf16=False, dma_banks=8)),
 ]
-QUICK = [0, 1, 2]
+QUICK = [0, 1, 2, 3]
 
 
 def main():
@@ -76,6 +78,7 @@ def main():
                 instance_budget=kw.get("instance_budget"),
                 dma_banks=kw.get("dma_banks", 1),
                 face_plan=kw.get("face_plan", False),
+                presort=kw.get("presort", True),
             )
             fps, P = stats["fps"], stats["P"]
         except Exception:
