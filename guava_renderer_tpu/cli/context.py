@@ -121,6 +121,12 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         tpg_large=raster_cfg.get("tpg_large", 64),
         instance_budget=raster_cfg.get("instance_budget", None),
         dma_banks=raster_cfg.get("dma_banks", 1),
+        presort=bool(raster_cfg.get("presort", True)),
+    )
+    banks = int(raster_cfg.get("dma_banks", 1))
+    assert int(raster_cfg.get("chunk", 32)) % max(banks, 1) == 0, (
+        "raster.dma_banks must divide raster.chunk: the blend kernel's "
+        "byte-counted DMA waits absorb chunk//banks rows per bank"
     )
     inferer = UbodyGaussianInferer(cfg=icfg, num_vertices=smplx.num_vertices)
     ru = m.get("refiner_type", "styleunet")
