@@ -534,6 +534,9 @@ def main():
     if "flops_per_frame" in stats:
         extra["flops_per_frame"] = stats["flops_per_frame"]
         extra["instances"] = stats["instances"]
+        # silent-cap observability (VERDICT r2 item 6): instances lost to
+        # the static tpg/tpg_large/instance_budget caps, 0 on parity scenes
+        extra["instances_truncated"] = stats.get("instances_truncated", 0)
         if peak_flops:
             extra["mfu"] = round(fps * stats["flops_per_frame"] / peak_flops, 5)
             # raster bytes only: XLA cost-analysis "bytes accessed" counts
