@@ -151,3 +151,61 @@ def test_planned_deform_matches_plain():
     np.testing.assert_allclose(
         np.asarray(got.colors), np.asarray(want.colors), atol=1e-6
     )
+
+
+def test_frame_pipeline_planned_path_matches_plain(tmp_path):
+    """FramePipeline's TPU-gated planned branch, forced on under the CPU
+    interpreter, must render the same frame as the plain path."""
+    import os
+
+    import yaml
+
+    from guava_renderer_tpu.cli.context import (
+        build_runtime, init_params, resolve_config,
+    )
+    from guava_renderer_tpu.cli.inference import FramePipeline
+    from guava_renderer_tpu.data.synthetic import write_synthetic_dataset
+    from guava_renderer_tpu.data.tracked import TrackedVideoDataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds_dir = str(tmp_path / "ds")
+    write_synthetic_dataset(ds_dir, n_videos=1, n_frames=2, image_size=48,
+                            n_shape=8, n_exp=4)
+    with open(os.path.join(repo, "configs/train/micro_synthetic.yaml")) as f:
+        raw = yaml.safe_load(f)
+    raw["DATASET"]["data_path"] = ds_dir
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+
+    cfg = resolve_config(cfg_path)
+    rt = build_runtime(cfg, synthetic_assets=True)
+    params = init_params(rt, seed=0)["model"]
+    m = cfg.MODEL
+    ds = TrackedVideoDataset(
+        ds_dir, "test",
+        image_size=int(m.image_size),
+        feature_img_size=int(m.feature_img_size),
+        origin_image_size=int(cfg.DATASET.origin_image_size),
+    )
+    rec = ds[0]
+    source, target = rec["source"], rec["target"]
+
+    pipe = FramePipeline(rt, params)
+    assert not pipe._use_plan  # CPU backend
+    av_plain, _ = pipe.infer_avatar(source)
+    out_plain = pipe.render_frame(av_plain, target)
+
+    pipe2 = FramePipeline(rt, params)
+    pipe2._use_plan = True
+    av_planned, _ = pipe2.infer_avatar(source)
+    assert pipe2._active_plan is not None
+    out_planned = pipe2.render_frame(av_planned, target)
+
+    np.testing.assert_allclose(
+        np.asarray(out_planned["render"]), np.asarray(out_plain["render"]),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_planned["raw"]), np.asarray(out_plain["raw"]), atol=2e-5
+    )

@@ -44,7 +44,7 @@ STAGES = [
 ]
 # measured r3a: XLA's (2.18M,128) gather = 35.3 s steady — replaced by the
 # in-kernel row gather; "gather" stage kept out of the default list
-EXTRA_STAGES = ["gather", "refiner2"]
+EXTRA_STAGES = ["gather", "refiner2", "refiner3"]
 
 
 # --------------------------------------------------------------------------
@@ -152,9 +152,41 @@ def _timeit(label, fn, *args, reps=3, iters=8):
         t0 = time.time()
         float(run(r))
         best = min(best, (time.time() - t0) / iters)
+    rtt = _rtt_floor(iters)
     print(f"[{label}] compile+first={t_compile:.1f}s steady={best*1000:.1f}ms"
-          f" (x{iters} in-jit)", flush=True)
+          f" (x{iters} in-jit; minus {rtt*1000:.1f}ms RTT floor ="
+          f" {(best-rtt)*1000:.1f}ms)", flush=True)
     return fn(*args)
+
+
+_RTT_CACHE = {}
+
+
+def _rtt_floor(iters: int) -> float:
+    """Tunnel round-trip per loop iteration: the same fori structure over a
+    NO-OP body. Every r8-window stage measured >= 3.4 ms 'steady' — even a
+    (B,V) scatter and a 128^2 mean-pool — because one dispatch+fetch through
+    the axon tunnel costs ~27 ms and the x8 loop only divides it by 8.
+    Subtract this floor or tiny stages read as 3.4 ms."""
+    if iters in _RTT_CACHE:
+        return _RTT_CACHE[iters]
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(seed):
+        def body(i, acc):
+            return acc + jnp.float32(1e-30) * i
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(seed) * 0.0)
+
+    float(run(0))
+    best = float("inf")
+    for r in range(1, 4):
+        t0 = time.time()
+        float(run(r))
+        best = min(best, (time.time() - t0) / iters)
+    _RTT_CACHE[iters] = best
+    return best
 
 
 # --------------------------------------------------------------------------
@@ -474,6 +506,38 @@ def stage_raster1(sc):
     print(f"[raster1] sum={float(out[0]):.4f} rmax={float(out[1]):.0f}",
           flush=True)
 
+    # everything EXCEPT the blend kernel + image untiling: project + bin +
+    # per-gaussian row packing. raster1 minus this minus blend-stage =
+    # what the orchestration itself costs in context.
+    from guava_renderer_tpu.ops.gsplat import (
+        _CCH, _GEOM, _PK, ALPHA_MIN, NUM_CHANNELS, bin_gaussians,
+    )
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    H = W = sc["size"]
+
+    @jax.jit
+    def noblend(xyz, colors, opac, scales, rots):
+        proj = project_gaussians(xyz, scales, rots, opac, cam,
+                                 st.scale_modifier, st.antialiasing)
+        contributing = proj.valid & (
+            jax.lax.stop_gradient(proj.alpha) >= ALPHA_MIN)
+        ranges, order, _, _ = bin_gaussians(
+            jax.lax.stop_gradient(proj.mean2d),
+            jax.lax.stop_gradient(proj.depth),
+            proj.radius_bin, contributing, W, H, st)
+        P = xyz.shape[0]
+        invd = 1.0 / jnp.maximum(proj.depth, 1e-8)
+        per_gauss = jnp.concatenate(
+            [proj.mean2d, proj.conic, proj.alpha[:, None],
+             jnp.zeros((P, 2), jnp.float32), colors, invd[:, None],
+             jnp.zeros((P, _PK - _GEOM - NUM_CHANNELS - 1), jnp.float32)],
+            axis=-1)
+        return jnp.sum(per_gauss), jnp.sum(order), ranges[-1]
+
+    _timeit("raster1.project+bin+pack (no blend)", noblend, gs.xyz[0],
+            gs.colors[0], gs.opacity[0], gs.scaling[0], gs.rotation[0])
+
 
 def stage_loop_noref(sc, frames=3):
     import jax
@@ -580,6 +644,95 @@ def stage_refiner2(sc, reps=8):
             jnp.float32(0), reps=2)
 
 
+def stage_refiner3(sc, reps=8):
+    """Conv-lowering experiments: a plain 3x3 conv at 512^2 x 16ch measured
+    2.4 ms RTT-corrected (refiner2, r8) — ~60x off its 1.2 GFLOP. Find the
+    formulation XLA lowers well."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    size = sc["size"]
+
+    def loop(fn, x0):
+        @jax.jit
+        def run(s):
+            def body(i, acc):
+                return acc + jnp.sum(fn(x0 + acc * 1e-12).astype(jnp.float32))
+            return jax.lax.fori_loop(0, reps, body, s)
+        return run
+
+    rng = jax.random.PRNGKey(0)
+    for ch in (16, 32, 64, 128):
+        x = jnp.zeros((1, size, size, ch))
+        conv = nn.Conv(ch, (3, 3), padding=1)
+        cp = conv.init(rng, x)
+        _timeit(f"refiner3.conv3x3 {size} ch{ch} NHWC",
+                loop(lambda v, conv=conv, cp=cp: conv.apply(cp, v), x),
+                jnp.float32(0), reps=2)
+
+    # 9-shifted-matmul formulation at ch16
+    ch = 16
+    x = jnp.zeros((1, size, size, ch))
+    w9 = jnp.zeros((9, ch, ch))
+
+    def conv_shift(v):
+        out = jnp.zeros_like(v)
+        k = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = jnp.roll(v, (dy, dx), axis=(1, 2))
+                out = out + s @ w9[k]
+                k += 1
+        return out
+
+    _timeit(f"refiner3.conv3x3 {size} ch16 9-shift-matmul",
+            loop(conv_shift, x), jnp.float32(0), reps=2)
+
+    # im2col + one matmul
+    wim = jnp.zeros((9 * ch, ch))
+
+    def conv_im2col(v):
+        p = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [p[:, dy:dy + size, dx:dx + size] for dy in range(3)
+             for dx in range(3)], axis=-1)
+        return cols @ wim
+
+    _timeit(f"refiner3.conv3x3 {size} ch16 im2col-matmul",
+            loop(conv_im2col, x), jnp.float32(0), reps=2)
+
+    # NCHW dimension numbers
+    wn = jnp.zeros((ch, ch, 3, 3))
+    xn = jnp.zeros((1, ch, size, size))
+
+    def conv_nchw(v):
+        return jax.lax.conv_general_dilated(
+            v, wn, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    _timeit(f"refiner3.conv3x3 {size} ch16 NCHW",
+            loop(conv_nchw, xn), jnp.float32(0), reps=2)
+
+    # bf16 NHWC
+    xb = jnp.zeros((1, size, size, ch), jnp.bfloat16)
+    convb = nn.Conv(ch, (3, 3), padding=1, dtype=jnp.bfloat16)
+    cpb = convb.init(rng, xb)
+    _timeit(f"refiner3.conv3x3 {size} ch16 NHWC bf16",
+            loop(lambda v: convb.apply(cpb, v), xb), jnp.float32(0), reps=2)
+
+    # matrix-form bilinear resize (two einsums) vs jax.image.resize
+    big = jnp.zeros((1, size, size, 32))
+    wy = jnp.zeros((size // 2, size))
+
+    def resize_mm(v):
+        t = jnp.einsum("bhwc,oh->bowc", v, wy)
+        return jnp.einsum("bhwc,ow->bhoc", t, wy)
+
+    _timeit(f"refiner3.resize-matmul {size}->{size//2} ch32",
+            loop(resize_mm, big), jnp.float32(0), reps=2)
+
+
 def stage_full(sc, frames=3):
     import jax
     import jax.numpy as jnp
@@ -631,6 +784,7 @@ def run_stage(name, out_dir, platform):
         "loop_noref": stage_loop_noref,
         "refiner": stage_refiner,
         "refiner2": stage_refiner2,
+        "refiner3": stage_refiner3,
         "full": stage_full,
     }[name](sc)
 
