@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import leaky_relu
+from .layers import Conv, leaky_relu
 
 
 class VertexGSDecoder(nn.Module):
@@ -83,13 +83,13 @@ class UVPointGSDecoder(nn.Module):
         )
         x = jnp.concatenate([features, dirs], axis=-1)
         for i in range(3):
-            x = nn.Conv(h1, (3, 3), padding=1, name=f"trunk{i}")(x)
+            x = Conv(h1, (3, 3), padding=1, name=f"trunk{i}")(x)
             if i < 2:
                 x = leaky_relu(x, 0.01)
 
         def head2(name, mid, out, k_last=1):
-            y = leaky_relu(nn.Conv(mid, (3, 3), padding=1, name=f"{name}0")(x), 0.01)
-            return nn.Conv(out, (k_last, k_last), padding=k_last // 2, name=f"{name}1")(y)
+            y = leaky_relu(Conv(mid, (3, 3), padding=1, name=f"{name}0")(x), 0.01)
+            return Conv(out, (k_last, k_last), padding=k_last // 2, name=f"{name}1")(y)
 
         colors = head2("color", h1, self.color_dim)
         opacities = nn.sigmoid(head2("opacity", h2, 1))
@@ -100,9 +100,9 @@ class UVPointGSDecoder(nn.Module):
         scales = jnp.exp(jnp.minimum(head2("scale", h2, 3), 8.0))
         rot = head2("rotation", h2, 4)
         rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
-        y = leaky_relu(nn.Conv(h1, (3, 3), padding=1, name="localpos0")(x), 0.01)
-        y = leaky_relu(nn.Conv(h2, (3, 3), padding=1, name="localpos1")(y), 0.01)
-        local_pos = nn.Conv(3, (1, 1), name="localpos2")(y)
+        y = leaky_relu(Conv(h1, (3, 3), padding=1, name="localpos0")(x), 0.01)
+        y = leaky_relu(Conv(h2, (3, 3), padding=1, name="localpos1")(y), 0.01)
+        local_pos = Conv(3, (1, 1), name="localpos2")(y)
         return {
             "colors": colors,
             "opacities": opacities,

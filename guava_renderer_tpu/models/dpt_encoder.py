@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import leaky_relu, resize_bilinear
+from .layers import Conv, leaky_relu, resize_bilinear
 from .vit import VisionTransformer
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -38,9 +38,9 @@ class ResidualConvUnit(nn.Module):
     @nn.compact
     def __call__(self, x):
         out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1)(out)
+        out = Conv(self.features, (3, 3), padding=1)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1)(out)
+        out = Conv(self.features, (3, 3), padding=1)(out)
         return out + x
 
 
@@ -58,7 +58,7 @@ class FeatureFusionBlock(nn.Module):
         if size is None:
             size = (out.shape[1] * 2, out.shape[2] * 2)
         out = resize_bilinear(out, size, antialias=False)
-        return nn.Conv(self.features, (1, 1))(out)
+        return Conv(self.features, (1, 1))(out)
 
 
 class DinoDPTEncoder(nn.Module):
@@ -110,16 +110,16 @@ class DinoDPTEncoder(nn.Module):
         feats = []
         for i, (tok, od) in enumerate(zip(levels, out_dims)):
             f = tok[:, 1:].reshape(B, gh, gw, -1)
-            f = nn.Conv(od, (1, 1), name=f"project{i}")(f)
+            f = Conv(od, (1, 1), name=f"project{i}")(f)
             if i == 0:
                 f = nn.ConvTranspose(od, (4, 4), strides=(4, 4), name="resize0")(f)
             elif i == 1:
                 f = nn.ConvTranspose(od, (2, 2), strides=(2, 2), name="resize1")(f)
             elif i == 3:
-                f = nn.Conv(od, (3, 3), strides=(2, 2), padding=1, name="resize3")(f)
+                f = Conv(od, (3, 3), strides=(2, 2), padding=1, name="resize3")(f)
             rgb = resize_bilinear(x, (f.shape[1], f.shape[2]))
             f = jnp.concatenate([jax.lax.stop_gradient(rgb), f], axis=-1)
-            f = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False, name=f"layer_rn{i}")(f)
+            f = Conv(self.hidden, (3, 3), padding=1, use_bias=False, name=f"layer_rn{i}")(f)
             feats.append(f)
 
         path = FeatureFusionBlock(self.hidden, name="refine0")(
@@ -140,20 +140,20 @@ class DinoDPTEncoder(nn.Module):
 
         low = low_level[:, 1:].reshape(B, gh, gw, -1)
         low = resize_bilinear(low, (gh * 2, gw * 2), align_corners=True)
-        low = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="project_l0")(low)
+        low = Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="project_l0")(low)
         low = resize_bilinear(low, (low.shape[1] * 4, low.shape[2] * 4), align_corners=True)
-        low = nn.Conv(self.hidden // 2, (3, 3), padding=1, use_bias=False, name="project_l1")(low)
+        low = Conv(self.hidden // 2, (3, 3), padding=1, use_bias=False, name="project_l1")(low)
         low = resize_bilinear(low, (S, S), antialias=False)
 
         path = jnp.concatenate([path, image_l], axis=-1)
-        fused = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="fuse_l0")(
+        fused = Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="fuse_l0")(
             jnp.concatenate([path, low], axis=-1)
         )
         fused = leaky_relu(fused, 0.01)  # torch LeakyReLU default slope
-        fused = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="fuse_l1")(fused)
-        skip = nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="skip_l")(path)
+        fused = Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="fuse_l1")(fused)
+        skip = Conv(self.hidden, (3, 3), padding=1, use_bias=False, name="skip_l")(path)
         path = fused + skip
 
-        f_map1 = nn.Conv(self.out_dim_1, (3, 3), padding=1, name="output_conv")(path)
-        f_map2 = nn.Conv(self.out_dim_2, (3, 3), padding=1, name="output_conv_2")(path)
+        f_map1 = Conv(self.out_dim_1, (3, 3), padding=1, name="output_conv")(path)
+        f_map2 = Conv(self.out_dim_2, (3, 3), padding=1, name="output_conv_2")(path)
         return {"f_map1": f_map1, "f_map2": f_map2, "f_global": f_global}

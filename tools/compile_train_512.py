@@ -64,13 +64,17 @@ def main():
     with open(args.config) as f:
         raw = yaml.safe_load(f)
     origin = int(raw["DATASET"]["origin_image_size"])
-    if not os.path.exists(os.path.join(args.dataset_dir, "videos_info.json")):
+    # enough train frames for one full batch after the train/valid split
+    # (a too-small dataset makes the loader yield nothing -> StopIteration)
+    n_frames = max(4, 2 * args.batch_size + 2)
+    ds_dir = f"{args.dataset_dir}_f{n_frames}"
+    if not os.path.exists(os.path.join(ds_dir, "videos_info.json")):
         write_synthetic_dataset(
-            args.dataset_dir, n_videos=1, n_frames=4, image_size=origin,
+            ds_dir, n_videos=1, n_frames=n_frames, image_size=origin,
             n_shape=int(raw["MODEL"].get("synthetic_n_shape", 50)),
             n_exp=int(raw["MODEL"].get("synthetic_n_exp", 20)),
         )
-    raw["DATASET"]["data_path"] = args.dataset_dir
+    raw["DATASET"]["data_path"] = ds_dir
     raw["TRAIN"]["batch_size"] = args.batch_size
     cfg = ConfigDict(raw)
     print(f"[{time.time()-t0:7.1f}s] dataset + config ready (origin {origin})")
