@@ -16,16 +16,26 @@ def leaky_relu(x, slope=0.2):
 
 @functools.lru_cache(maxsize=None)
 def _halfpix_weights(n_in: int, n_out: int, antialias: bool) -> np.ndarray:
-    """(n_out, n_in) half-pixel bilinear interpolation matrix — the exact
-    operator jax.image.resize applies per axis, extracted by resizing the
-    identity. Bilinear resize is separable and linear, so two einsums with
-    these matrices reproduce jax.image.resize bit-for-bit while lowering to
-    MXU matmuls: on-chip, jax.image.resize(512->256, antialias) measured
-    17.1 ms vs ~0.0 ms for the matmul form (tpu_diag_r8 refiner2/3)."""
-    eye = np.eye(n_in, dtype=np.float32)
-    w = jax.image.resize(eye, (n_out, n_in), method="bilinear",
-                         antialias=antialias)
-    return np.asarray(w)
+    """(n_out, n_in) half-pixel bilinear interpolation matrix — a pure-numpy
+    replica of jax.image's `compute_weight_mat` (triangle kernel, half-pixel
+    centers, antialias widening on downscale, row normalization, out-of-
+    range zeroing), pinned equal to jax.image.resize by test_layers_fast.
+    Bilinear resize is separable and linear, so two einsums with these
+    matrices reproduce jax.image.resize while lowering to MXU matmuls:
+    on-chip, jax.image.resize(512->256, antialias) measured 17.1 ms vs
+    ~0.0 ms for the matmul form (tpu_diag_r8 refiner2/3). Pure numpy — a
+    jax-built matrix would become a tracer under jit."""
+    scale = n_out / n_in
+    inv_scale = 1.0 / scale
+    kernel_scale = max(inv_scale, 1.0) if antialias else 1.0
+    sample_f = (np.arange(n_out, dtype=np.float64) + 0.5) * inv_scale - 0.5
+    x = np.abs(sample_f[:, None] - np.arange(n_in, dtype=np.float64)[None, :])
+    w = np.maximum(0.0, 1.0 - x / kernel_scale)
+    total = w.sum(axis=1, keepdims=True)
+    w = np.where(np.abs(total) > 1000.0 * np.finfo(np.float32).eps,
+                 w / np.where(total == 0, 1, total), 0.0)
+    in_range = (sample_f >= -0.5) & (sample_f <= n_in - 0.5)
+    return (w * in_range[:, None]).astype(np.float32)
 
 
 def resize_bilinear(x: jnp.ndarray, size: tuple[int, int],
