@@ -584,6 +584,23 @@ def stage_refiner(sc, frames=5):
 
     _timeit(f"refiner-only x{frames}", run, jnp.float32(0), reps=2)
 
+    ref_bf16 = jax.tree_util.tree_map(
+        lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
+        ref_params,
+    )
+    feat_bf16 = feat0.astype(jnp.bfloat16)
+
+    @jax.jit
+    def run_bf16(x):
+        def body(i, acc):
+            rgb = refiner.apply(
+                ref_bf16, feat_bf16 + (acc * 1e-12 + 0.0 * i).astype(jnp.bfloat16)
+            )
+            return acc + jnp.sum(rgb.astype(jnp.float32))
+        return jax.lax.fori_loop(0, frames, body, x)
+
+    _timeit(f"refiner-only bf16 x{frames}", run_bf16, jnp.float32(0), reps=2)
+
 
 def stage_refiner2(sc, reps=8):
     """Refiner micro-parts: where do the 9.7 ms actually go?"""
