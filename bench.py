@@ -81,7 +81,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               cost: bool = True, large_k: int = 8192,
               tpg_large: int = 32, instance_budget: int | None = None,
               dma_banks: int = 1, face_plan: bool = False,
-              presort: bool = True) -> dict:
+              presort: bool = True, tile_cull: bool = True) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -183,7 +183,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
                                  max_tiles_per_gaussian=tpg,
                                  large_k=large_k, tpg_large=tpg_large,
                                  instance_budget=instance_budget,
-                                 dma_banks=dma_banks, presort=presort)
+                                 dma_banks=dma_banks, presort=presort,
+                                 tile_cull=tile_cull)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -237,9 +238,9 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
                                   faces, plan=plan, compact_faces=cfaces)
         color, _, _ = rasterize(
             gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0], gs.rotation[0],
-            cam, bg, settings,
+            cam, bg, settings, channels_first=False,
         )
-        feats = jnp.transpose(color, (1, 2, 0))[None]
+        feats = color[None]
         if bf16:
             feats = feats.astype(jnp.bfloat16)
         rgb = refiner.apply(ref_params_, feats)
@@ -307,8 +308,11 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
         settings.scale_modifier, settings.antialiasing,
     )
     contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
+    # mirror rasterize() exactly (radius_bin + tile cull) so the instance
+    # stats describe what the frame actually gathers/blends
     ranges, _, num_valid, num_trunc = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius, contributing, size, size, settings,
+        proj.mean2d, proj.depth, proj.radius_bin, contributing, size, size,
+        settings, conic=proj.conic, alpha=proj.alpha,
     )
     lens = np.diff(np.asarray(ranges))
     padded = ((lens + chunk - 1) // chunk) * chunk
@@ -461,8 +465,14 @@ def main():
     ap.add_argument("--presort", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="P-row depth presort in binning (False = 2-key instance sort)")
+    ap.add_argument("--tile-cull", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="exact per-instance tile cull (max alpha over tile"
+                         " < 1/255 -> drop; lossless)")
+    # measured-best parity variant (24.80 vs 24.48 fps, r7 sweep) and what
+    # cli/inference.py itself runs (self._use_plan)
     ap.add_argument("--face-plan", action=argparse.BooleanOptionalAction,
-                    default=False,
+                    default=True,
                     help="face-sorted UV set + windowed MXU deformer gather")
     ap.add_argument("--skip-probe", action="store_true")
     # the driver runs `python bench.py` once at a time it chooses; surviving
@@ -507,7 +517,7 @@ def main():
                 cost=not args.skip_cost,
                 large_k=args.large_k, tpg_large=args.tpg_large,
                 dma_banks=args.banks, face_plan=args.face_plan,
-                presort=args.presort,
+                presort=args.presort, tile_cull=args.tile_cull,
             )
             break
         except Exception:

@@ -105,6 +105,9 @@ class GaussianRenderer(nn.Module):
 
         feats, radiis, invds = [], [], []
         for b in range(B):
+            # NHWC straight out of the rasterizer: the refiner and losses
+            # are NHWC, so the (C,H,W) API layout would cost two full-image
+            # relayouts per frame
             color, radii, invd = rasterize(
                 gaussians.xyz[b],
                 gaussians.colors[b],
@@ -114,10 +117,11 @@ class GaussianRenderer(nn.Module):
                 cams[b] if isinstance(cams, (list, tuple)) else cams,
                 bg,
                 self.settings,
+                channels_first=False,
             )
-            feats.append(jnp.transpose(color, (1, 2, 0)))  # (H, W, 32)
+            feats.append(color)  # (H, W, 32)
             radiis.append(radii)
-            invds.append(invd[0])
+            invds.append(invd[:, :, 0])
         feature_renders = jnp.stack(feats)
         rng = self.make_rng("noise") if self.has_rng("noise") else None
         rsize = self.refiner_size or self.image_size

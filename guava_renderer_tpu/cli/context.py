@@ -122,6 +122,7 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         instance_budget=raster_cfg.get("instance_budget", None),
         dma_banks=raster_cfg.get("dma_banks", 1),
         presort=bool(raster_cfg.get("presort", True)),
+        tile_cull=bool(raster_cfg.get("tile_cull", True)),
     )
     banks = int(raster_cfg.get("dma_banks", 1))
     assert int(raster_cfg.get("chunk", 32)) % max(banks, 1) == 0, (

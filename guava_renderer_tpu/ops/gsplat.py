@@ -91,6 +91,15 @@ class RasterizeSettings(NamedTuple):
     # _bin_nopresort). Depth TIES between distinct gaussians then resolve
     # by duplication order instead of gaussian id (real scenes: no ties).
     presort: bool = True
+    # Exact per-instance tile culling: drop (gaussian, tile) instances whose
+    # maximum alpha over the tile's pixel centers is below the blend's 1/255
+    # floor (the analytic min of the conic quadratic over the tile box).
+    # Bit-exact by construction — the blend skips those pixels anyway
+    # (forward.cu:358-360) — while the rect bound alone keeps corner tiles
+    # of big anisotropic splats whose ellipse never enters them. Each culled
+    # instance saves one 512 B row DMA in the blend kernel (the frame's
+    # single largest cost, ~10 ms of 40 ms at 454k instances).
+    tile_cull: bool = True
     scale_modifier: float = 1.0
     antialiasing: bool = False
 
@@ -98,6 +107,64 @@ class RasterizeSettings(NamedTuple):
 # ---------------------------------------------------------------------------
 # stage 2: binning
 # ---------------------------------------------------------------------------
+
+
+def _capped_emit(rw, rh, cap):
+    """Instances the row-major capped duplication emits per gaussian.
+
+    rh_c uses ceil(cap/rw_c), so rw_c*rh_c may exceed cap by a partial last
+    row — the slot enumeration stops at cap."""
+    rw_c = jnp.minimum(rw, cap)
+    rh_c = jnp.minimum(rh, (cap + rw_c - 1) // jnp.maximum(rw_c, 1))
+    return jnp.minimum(rw_c * rh_c, cap)
+
+
+def _cull_qcut(conic, alpha):
+    """Per-gaussian threshold on the conic quadratic q = d^T conic d above
+    which alpha = a0*exp(-q/2) falls below the blend's 1/255 floor.
+
+    +inf (never cull) for non-positive-definite conics, where the q-min-
+    over-box edge analysis below is invalid. The 1e-3 slack keeps analytic
+    boundary cases strictly below what the blend's f32 exp could round up
+    to the floor."""
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    psd = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
+    qcut = 2.0 * jnp.log(jnp.maximum(255.0 * alpha, 1.0)) + 1e-3
+    return jnp.where(psd, qcut, jnp.inf)
+
+
+def _slot_qmin(tx, ty, mx, my, ca, cb, cc, tile):
+    """Exact min of q(d) = ca*dx^2 + 2*cb*dx*dy + cc*dy^2 over the box of
+    tile (tx, ty)'s pixel centers; d = pixel - mean.
+
+    (n, cap) tile coords, (n,) per-gaussian params. For a PSD form the min
+    over a box is 0 if the mean lies inside, else it lies on one of the four
+    edges — each edge restriction is a 1-D quadratic minimized in closed
+    form and clamped to the edge's extent."""
+    mx = mx[:, None]
+    my = my[:, None]
+    ca = ca[:, None]
+    cb = cb[:, None]
+    cc = cc[:, None]
+    bx0 = tx.astype(jnp.float32) * tile - mx
+    bx1 = bx0 + (tile - 1)
+    by0 = ty.astype(jnp.float32) * tile - my
+    by1 = by0 + (tile - 1)
+
+    def edge_x(e):  # dx = e fixed, minimize over dy in [by0, by1]
+        dy = jnp.clip(-cb * e / jnp.maximum(cc, 1e-20), by0, by1)
+        return (ca * e + 2.0 * cb * dy) * e + cc * dy * dy
+
+    def edge_y(e):  # dy = e fixed, minimize over dx in [bx0, bx1]
+        dx = jnp.clip(-cb * e / jnp.maximum(ca, 1e-20), bx0, bx1)
+        return (cc * e + 2.0 * cb * dx) * e + ca * dx * dx
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(bx0), edge_x(bx1)),
+        jnp.minimum(edge_y(by0), edge_y(by1)),
+    )
+    inside = (bx0 <= 0.0) & (bx1 >= 0.0) & (by0 <= 0.0) & (by1 >= 0.0)
+    return jnp.where(inside, 0.0, qmin)
 
 
 def bin_gaussians(
@@ -108,6 +175,8 @@ def bin_gaussians(
     width: int,
     height: int,
     settings: RasterizeSettings,
+    conic: jnp.ndarray | None = None,
+    alpha: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Duplicate-with-keys + sort.
 
@@ -120,7 +189,10 @@ def bin_gaussians(
     global `instance_budget`) — the CUDA reference is uncapped
     (rasterizer_impl.cu:292-301), so any nonzero value here is a quality
     delta vs the reference; bench/diag surface it so the silent cap is a
-    visible number.
+    visible number. Instances removed by the exact tile cull
+    (settings.tile_cull, needs `conic`+`alpha`) are NOT counted: the blend
+    provably ignores them (max alpha over the tile < 1/255), so dropping
+    them is lossless.
     """
     tile = settings.tile
     tpg = settings.max_tiles_per_gaussian
@@ -136,7 +208,14 @@ def bin_gaussians(
     # every tile instance an uncapped duplication would emit
     num_potential = jnp.sum(jnp.where(valid, rw * rh, 0))
 
-    def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, depth_, cap):
+    cull = settings.tile_cull and conic is not None and alpha is not None
+    if cull:
+        cp = (mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1],
+              conic[:, 2], _cull_qcut(conic, alpha))
+    else:
+        cp = None
+
+    def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, depth_, cap, cp_):
         """Rect -> up-to-`cap` (tile_id, gid, depth) rows, truncated
         row-major. depth rides along as a broadcast (a (N,)-from-(P,)
         gather here is the kind of XLA lowering the TPU punishes)."""
@@ -146,8 +225,12 @@ def bin_gaussians(
         dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
         dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
         dup_valid = valid_[:, None] & (dy < rh_c[:, None])
-        tid = (y0_[:, None] + dy) * gx + (x0_[:, None] + dx)
-        tid = jnp.where(dup_valid, tid, num_tiles).astype(jnp.int32)
+        tx = x0_[:, None] + dx
+        ty = y0_[:, None] + dy
+        if cp_ is not None:
+            mx, my, ca, cb, cc, qcut = cp_
+            dup_valid &= _slot_qmin(tx, ty, mx, my, ca, cb, cc, tile) <= qcut[:, None]
+        tid = jnp.where(dup_valid, ty * gx + tx, num_tiles).astype(jnp.int32)
         n = x0_.shape[0]
         gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
         depth_b = jnp.broadcast_to(depth_[:, None], (n, cap))
@@ -157,7 +240,7 @@ def bin_gaussians(
     if not settings.presort:
         return _bin_nopresort(
             depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
-            num_potential, settings, P,
+            num_potential, settings, P, cp,
         )
 
     # Pre-sort the P gaussians by depth (ties keep id order), then
@@ -167,24 +250,30 @@ def bin_gaussians(
     # through the big N-row sort (measured 10.5 ms of the 59 ms frame,
     # outputs/bench/tpu_window_20260817_064208/diag.log).
     b = max(int(gx).bit_length(), int(gy).bit_length())
+    extra = cp if cp is not None else ()
     if 4 * b + 1 <= 31:
         # pack the five small rect fields into ONE i32 payload: the sort's
         # bitonic passes move every payload array each pass, so 3 arrays
-        # (key, rect, gid) instead of 7 cuts the presort's data volume ~2x
+        # (key, rect, gid) instead of 7 cuts the presort's data volume ~2x.
+        # The tile-cull params (mean2d/conic/qcut, 6 f32) ride as extra
+        # payloads when culling is on — the sort is pass-count bound, so
+        # the added arrays cost little vs the blend rows they remove.
         rect = ((((x0 << b | y0) << b | rw) << b | rh) << 1) | valid.astype(
             jnp.int32)
-        _, rect, gids = jax.lax.sort((depth, rect, gids0), num_keys=1)
+        _, rect, gids, *extra = jax.lax.sort(
+            (depth, rect, gids0, *extra), num_keys=1)
         valid = (rect & 1).astype(jnp.bool_)
         rh = (rect >> 1) & ((1 << b) - 1)
         rw = (rect >> (1 + b)) & ((1 << b) - 1)
         y0 = (rect >> (1 + 2 * b)) & ((1 << b) - 1)
         x0 = rect >> (1 + 3 * b)
     else:
-        _, x0, y0, rw, rh, valid_i, gids = jax.lax.sort(
-            (depth, x0, y0, rw, rh, valid.astype(jnp.int32), gids0),
+        _, x0, y0, rw, rh, valid_i, gids, *extra = jax.lax.sort(
+            (depth, x0, y0, rw, rh, valid.astype(jnp.int32), gids0, *extra),
             num_keys=1,
         )
         valid = valid_i.astype(jnp.bool_)
+    cp = tuple(extra) if cp is not None else None
 
     rank = jnp.arange(P, dtype=jnp.int32)   # position = depth rank
     rank_bits = max(1, int(P - 1).bit_length())
@@ -212,17 +301,23 @@ def bin_gaussians(
             _, large_pos = jax.lax.top_k(need, large_k)
         base_valid = valid.at[large_pos].set(False)
         tile_s, rank_s, _ = duplicate(
-            x0, y0, rw, rh, base_valid, rank, depth, tpg)
+            x0, y0, rw, rh, base_valid, rank, depth, tpg, cp)
         lg = lambda a: a[large_pos]  # noqa: E731
+        cp_l = tuple(lg(a) for a in cp) if cp is not None else None
         tile_l, rank_l, _ = duplicate(
             lg(x0), lg(y0), lg(rw), lg(rh), lg(valid), large_pos, lg(depth),
-            settings.tpg_large,
+            settings.tpg_large, cp_l,
         )
         tile_flat = jnp.concatenate([tile_s, tile_l])
         rank_flat = jnp.concatenate([rank_s, rank_l])
+        num_emitted = jnp.sum(
+            jnp.where(base_valid, _capped_emit(rw, rh, tpg), 0)
+        ) + jnp.sum(jnp.where(
+            lg(valid), _capped_emit(lg(rw), lg(rh), settings.tpg_large), 0))
     else:
         tile_flat, rank_flat, _ = duplicate(
-            x0, y0, rw, rh, valid, rank, depth, tpg)
+            x0, y0, rw, rh, valid, rank, depth, tpg, cp)
+        num_emitted = jnp.sum(jnp.where(valid, _capped_emit(rw, rh, tpg), 0))
 
     # depth-rank-ordered gid stream matching the duplication layout
     if large_k > 0:
@@ -247,13 +342,14 @@ def bin_gaussians(
             (tile_flat, rank_flat, gid_flat), num_keys=2
         )
     num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
-    num_truncated = num_potential - num_valid  # lost to tpg/tpg_large caps
+    # lost to tpg/tpg_large caps (pre-cull: culled instances are lossless)
+    num_truncated = num_potential - num_emitted
     return _finish_bin(sorted_tile, order, num_tiles, num_valid,
                        num_truncated, settings)
 
 
 def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
-                   num_potential, settings, P):
+                   num_potential, settings, P, cp=None):
     """Binning without the P-row depth presort.
 
     The presorted path exists to shrink the instance-sort payload, but
@@ -271,15 +367,21 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
     large_k = min(settings.large_k, P)
     depth_bits = jax.lax.bitcast_convert_type(depth, jnp.int32)
 
-    def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, dkey_, cap):
+    tile = settings.tile
+
+    def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, dkey_, cap, cp_):
         rw_c = jnp.minimum(rw_, cap)
         rh_c = jnp.minimum(rh_, (cap + rw_c - 1) // jnp.maximum(rw_c, 1))
         d = jnp.arange(cap, dtype=jnp.int32)
         dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
         dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
         dup_valid = valid_[:, None] & (dy < rh_c[:, None])
-        tid = (y0_[:, None] + dy) * gx + (x0_[:, None] + dx)
-        tid = jnp.where(dup_valid, tid, num_tiles).astype(jnp.int32)
+        tx = x0_[:, None] + dx
+        ty = y0_[:, None] + dy
+        if cp_ is not None:
+            mx, my, ca, cb, cc, qcut = cp_
+            dup_valid &= _slot_qmin(tx, ty, mx, my, ca, cb, cc, tile) <= qcut[:, None]
+        tid = jnp.where(dup_valid, ty * gx + tx, num_tiles).astype(jnp.int32)
         n = x0_.shape[0]
         gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
         dkey_b = jnp.broadcast_to(dkey_[:, None], (n, cap))
@@ -296,24 +398,30 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
             _, large_pos = jax.lax.top_k(need, large_k)
         base_valid = valid.at[large_pos].set(False)
         tile_s, gid_s, dk_s = duplicate(
-            x0, y0, rw, rh, base_valid, gids0, depth_bits, tpg)
+            x0, y0, rw, rh, base_valid, gids0, depth_bits, tpg, cp)
         lg = lambda a: a[large_pos]  # noqa: E731
+        cp_l = tuple(lg(a) for a in cp) if cp is not None else None
         tile_l, gid_l, dk_l = duplicate(
             lg(x0), lg(y0), lg(rw), lg(rh), lg(valid), large_pos,
-            lg(depth_bits), settings.tpg_large,
+            lg(depth_bits), settings.tpg_large, cp_l,
         )
         tile_flat = jnp.concatenate([tile_s, tile_l])
         gid_flat = jnp.concatenate([gid_s, gid_l])
         dk_flat = jnp.concatenate([dk_s, dk_l])
+        num_emitted = jnp.sum(
+            jnp.where(base_valid, _capped_emit(rw, rh, tpg), 0)
+        ) + jnp.sum(jnp.where(
+            lg(valid), _capped_emit(lg(rw), lg(rh), settings.tpg_large), 0))
     else:
         tile_flat, gid_flat, dk_flat = duplicate(
-            x0, y0, rw, rh, valid, gids0, depth_bits, tpg)
+            x0, y0, rw, rh, valid, gids0, depth_bits, tpg, cp)
+        num_emitted = jnp.sum(jnp.where(valid, _capped_emit(rw, rh, tpg), 0))
 
     sorted_tile, _, order = jax.lax.sort(
         (tile_flat, dk_flat, gid_flat), num_keys=2
     )
     num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
-    num_truncated = num_potential - num_valid
+    num_truncated = num_potential - num_emitted
     return _finish_bin(sorted_tile, order, num_tiles, num_valid,
                        num_truncated, settings)
 
@@ -997,6 +1105,7 @@ def rasterize(
     cam: Camera,
     bg: jnp.ndarray,
     settings: RasterizeSettings = RasterizeSettings(),
+    channels_first: bool = True,
 ):
     """Differentiable single-image rasterization.
 
@@ -1005,6 +1114,10 @@ def rasterize(
     means3d (P,3), colors (P,32) precomputed, opacities (P,1), scales (P,3),
     quats (P,4) wxyz, camera, bg (32,)
     -> (color (32,H,W), radii (P,), invdepth (1,H,W)).
+
+    channels_first=False returns (color (H,W,32), radii (P,), invdepth
+    (H,W,1)) instead — the layout every downstream consumer (NHWC refiner,
+    losses) actually wants, skipping two full-image relayouts per frame.
     """
     H, W = cam.height, cam.width
     tile = settings.tile
@@ -1026,6 +1139,8 @@ def rasterize(
         proj.radius_bin,
         contributing,
         W, H, settings,
+        conic=jax.lax.stop_gradient(proj.conic),
+        alpha=jax.lax.stop_gradient(proj.alpha),
     )
 
     # gather per-instance packed data (differentiable take)
@@ -1060,6 +1175,9 @@ def rasterize(
                           settings.chunk, settings.dma_banks)
     out = _tiled_to_image(out4, H, W, tile)  # (H, W, CCH)
 
+    if not channels_first:
+        return (out[:, :, :NUM_CHANNELS], proj.radius,
+                out[:, :, NUM_CHANNELS:NUM_CHANNELS + 1])
     color = jnp.transpose(out[:, :, :NUM_CHANNELS], (2, 0, 1))
     invdepth = out[:, :, NUM_CHANNELS][None]
     return color, proj.radius, invdepth

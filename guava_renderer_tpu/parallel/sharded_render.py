@@ -79,6 +79,8 @@ def rasterize_row_sharded(
             proj.radius_bin,
             contributing,
             W, Hl, settings,
+            conic=jax.lax.stop_gradient(proj.conic),
+            alpha=jax.lax.stop_gradient(proj.alpha),
         )
         invd = 1.0 / jnp.maximum(proj.depth, 1e-8)
         Pn = m.shape[0]

@@ -135,3 +135,40 @@ def test_tile32_parity_quality(stress_scene):
                            large_k=64, tpg_large=64)
     out, _, _ = jax.jit(lambda *a: rasterize(*a, cam, bg, st))(*args)
     assert _psnr(np.asarray(out), ref) > 60.0
+
+
+def test_tile_cull_lossless_and_effective(stress_scene):
+    """The exact tile cull (settings.tile_cull) must (a) remove a real
+    fraction of instances on the stress scene's big anisotropic splats and
+    (b) leave the render within f32 re-association noise of the uncull'd
+    one (culled instances have max alpha < 1/255 over their tile, which the
+    blend skips per pixel anyway — forward.cu:358-360; the only delta is
+    cumprod chunk regrouping)."""
+    from guava_renderer_tpu.ops.gsplat import ALPHA_MIN, bin_gaussians
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    args, cam, bg, ref = stress_scene
+    means, colors, opac, scales, quats = args
+
+    def run(st, presort):
+        st = st._replace(presort=presort)
+        out, _, _ = jax.jit(lambda *a: rasterize(*a, cam, bg, st))(*args)
+        proj = project_gaussians(means, scales, quats, opac, cam)
+        contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
+        _, _, nv, ntr = jax.jit(
+            lambda m, d, r, v, c2, al: bin_gaussians(
+                m, d, r, v, SIZE, SIZE, st, conic=c2, alpha=al)
+        )(proj.mean2d, proj.depth, proj.radius_bin, contributing,
+          proj.conic, proj.alpha)
+        return np.asarray(out), int(nv), int(ntr)
+
+    base = RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=4,
+                             large_k=64, tpg_large=64)
+    for presort in (True, False):
+        out_cull, nv_cull, ntr_cull = run(base._replace(tile_cull=True), presort)
+        out_rect, nv_rect, ntr_rect = run(base._replace(tile_cull=False), presort)
+        assert nv_cull < nv_rect, (nv_cull, nv_rect)
+        # truncation counts cap losses only (pre-cull), identical either way
+        assert ntr_cull == ntr_rect == 0
+        np.testing.assert_allclose(out_cull, out_rect, atol=2e-5)
+        assert _psnr(out_cull, ref) > 60.0

@@ -22,20 +22,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import BASELINE_FPS, run_bench  # noqa: E402
 
+PARITY = dict(tile=32, chunk=32, tpg=2, bf16=True, face_plan=True)
 VARIANTS = [
-    # (label, kwargs) — tpg 4 + large(8192x32) is the parity raster block
-    ("parity-faceplan", dict(tile=32, chunk=32, tpg=2, bf16=True,
-                             face_plan=True)),
-    ("parity-fp-nops", dict(tile=32, chunk=32, tpg=2, bf16=True,
-                            face_plan=True, presort=False)),
-    ("parity-f32", dict(tile=32, chunk=32, tpg=2, bf16=False)),
-    ("parity-bf16ref", dict(tile=32, chunk=32, tpg=2, bf16=True)),
-    ("tile16", dict(tile=16, chunk=32, tpg=4, bf16=False)),
-    ("tile64", dict(tile=64, chunk=32, tpg=4, bf16=False)),
-    ("chunk64", dict(tile=32, chunk=64, tpg=4, bf16=False)),
-    ("chunk16", dict(tile=32, chunk=16, tpg=4, bf16=False)),
-    ("tpg4", dict(tile=32, chunk=32, tpg=4, bf16=False)),
-    ("banks8", dict(tile=32, chunk=32, tpg=4, bf16=False, dma_banks=8)),
+    # (label, kwargs) — tile 32, tpg 2 + large(8192x32), bf16 refiner,
+    # face-plan deformer is the r7/r8 measured-best parity block; this
+    # round's levers are the exact tile cull (default ON) and presort
+    ("parity-cull", dict(PARITY)),
+    ("parity-cull-nops", dict(PARITY, presort=False)),
+    ("parity-nocull", dict(PARITY, tile_cull=False)),
+    ("parity-nocull-nops", dict(PARITY, tile_cull=False, presort=False)),
+    ("parity-f32", dict(PARITY, bf16=False)),
+    ("cull-tpglarge16", dict(PARITY, tpg_large=16)),
+    ("cull-largek16k", dict(PARITY, large_k=16384)),
+    ("cull-chunk64", dict(PARITY, chunk=64)),
 ]
 QUICK = [0, 1, 2, 3]
 

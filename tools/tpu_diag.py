@@ -44,7 +44,7 @@ STAGES = [
 ]
 # measured r3a: XLA's (2.18M,128) gather = 35.3 s steady — replaced by the
 # in-kernel row gather; "gather" stage kept out of the default list
-EXTRA_STAGES = ["gather", "refiner2", "refiner3"]
+EXTRA_STAGES = ["gather", "refiner2", "refiner3", "bin2", "raster2"]
 
 
 # --------------------------------------------------------------------------
@@ -447,6 +447,119 @@ def stage_bin(sc):
             key, payload)
 
 
+def stage_bin2(sc):
+    """Where bin's non-sort ~5 ms goes: full bin under the 4 cull/presort
+    variants, then the micro-ops under suspicion (large-class scatter/
+    gathers, searchsorted ranges, duplication slot math)."""
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.ops.gsplat import bin_gaussians
+
+    proj, contributing = _proj_bin_inputs(sc)
+    size, st = sc["size"], sc["settings"]
+    P = proj.mean2d.shape[0]
+
+    for name, sv in [
+        ("cull+presort", st._replace(tile_cull=True, presort=True)),
+        ("cull+nopresort", st._replace(tile_cull=True, presort=False)),
+        ("nocull+presort", st._replace(tile_cull=False, presort=True)),
+        ("nocull+nopresort", st._replace(tile_cull=False, presort=False)),
+    ]:
+        fn = jax.jit(lambda m, d, r, v, c2, a2, sv=sv: bin_gaussians(
+            m, d, r, v, size, size, sv, conic=c2, alpha=a2))
+        _, _, nv, ntr = _timeit(
+            f"bin2.{name}", fn, proj.mean2d, proj.depth, proj.radius_bin,
+            contributing, proj.conic, proj.alpha)
+        print(f"[bin2.{name}] num_valid={int(np.asarray(nv))} "
+              f"num_truncated={int(np.asarray(ntr))}", flush=True)
+
+    rng = np.random.default_rng(0)
+    lk = min(st.large_k, P)
+    large_pos = jnp.asarray(
+        rng.choice(P, lk, replace=False).astype(np.int32))
+    _timeit("bin2.scatter_set_false(large_k rows)",
+            jax.jit(lambda v, lp: v.at[lp].set(False)),
+            contributing, large_pos)
+    xf = proj.depth
+    _timeit("bin2.gather_6f32_by_large_pos",
+            jax.jit(lambda a, lp: sum(a[lp] + i for i in range(6))),
+            xf, large_pos)
+
+    N = P * st.max_tiles_per_gaussian + lk * st.tpg_large
+    sorted_tile = jnp.sort(
+        jnp.asarray(rng.integers(0, 257, N).astype(np.int32)))
+    q = jnp.arange(257, dtype=jnp.int32)
+    _timeit("bin2.searchsorted_scan(257 over N)",
+            jax.jit(lambda s: jnp.searchsorted(s, q, method="scan")),
+            sorted_tile)
+
+    def dup_math(x0_, rw_):
+        cap = st.max_tiles_per_gaussian
+        rw_c = jnp.minimum(rw_, cap)
+        rh_c = jnp.minimum(rw_, (cap + rw_c - 1) // jnp.maximum(rw_c, 1))
+        d = jnp.arange(cap, dtype=jnp.int32)
+        dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
+        dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
+        return ((x0_[:, None] + dy) * 16 + (x0_[:, None] + dx)).reshape(-1)
+
+    x0i = jnp.asarray(rng.integers(0, 14, P).astype(np.int32))
+    _timeit("bin2.dup_base_slot_math", jax.jit(dup_math), x0i, x0i)
+    _timeit("bin2.num_potential_sum",
+            jax.jit(lambda rw: jnp.sum(jnp.where(rw > 0, rw * rw, 0))), x0i)
+
+
+def stage_raster2(sc):
+    """The orchestration overhead around the blend: per-gaussian row pack,
+    tiled->image untile, HWC->CHW relayout, and full rasterize in both
+    output layouts (NHWC should save the relayouts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.ops.gsplat import (
+        _CCH, _GEOM, _PK, NUM_CHANNELS, _tiled_to_image, rasterize,
+    )
+
+    gs, cam, st = sc["gs"], sc["cam"], sc["settings"]
+    H = W = sc["size"]
+    P = gs.xyz.shape[1]
+    rng = np.random.default_rng(2)
+
+    def pack(mean2d, conic, alpha, colors, invd):
+        return jnp.concatenate(
+            [mean2d, conic, alpha[:, None], jnp.zeros((P, 2), jnp.float32),
+             colors, invd[:, None],
+             jnp.zeros((P, _PK - _GEOM - NUM_CHANNELS - 1), jnp.float32)],
+            axis=-1)
+
+    _timeit("raster2.per_gauss pack (P,128)", jax.jit(pack),
+            jnp.asarray(rng.normal(size=(P, 2)), jnp.float32),
+            jnp.asarray(rng.normal(size=(P, 3)), jnp.float32),
+            jnp.asarray(rng.uniform(size=P), jnp.float32),
+            gs.colors[0], jnp.asarray(rng.uniform(size=P), jnp.float32))
+
+    gy = H // st.tile
+    tiled = jnp.asarray(
+        rng.uniform(size=(gy, gy, _CCH, st.tile * st.tile)), jnp.float32)
+    _timeit("raster2.tiled_to_image", jax.jit(
+        lambda t: _tiled_to_image(t, H, W, st.tile)), tiled)
+    hwc = jnp.asarray(rng.uniform(size=(H, W, _CCH)), jnp.float32)
+    _timeit("raster2.HWC->CHW transpose", jax.jit(
+        lambda x: jnp.transpose(x[:, :, :NUM_CHANNELS], (2, 0, 1))), hwc)
+
+    for name, cf in [("chw", True), ("nhwc", False)]:
+        fn = jax.jit(lambda x, c, o, s, q, cf=cf: rasterize(
+            x, c, o, s, q, cam, jnp.zeros(32), st, channels_first=cf)[0])
+        _timeit(f"raster2.full_{name}", fn, gs.xyz[0], gs.colors[0],
+                gs.opacity[0], gs.scaling[0], gs.rotation[0])
+
+    for name, sv in [("cull", st), ("nocull", st._replace(tile_cull=False))]:
+        fn = jax.jit(lambda x, c, o, s, q, sv=sv: rasterize(
+            x, c, o, s, q, cam, jnp.zeros(32), sv, channels_first=False)[0])
+        _timeit(f"raster2.full_nhwc_{name}", fn, gs.xyz[0], gs.colors[0],
+                gs.opacity[0], gs.scaling[0], gs.rotation[0])
+
+
 def stage_gather(sc):
     import jax
     import jax.numpy as jnp
@@ -795,6 +908,8 @@ def run_stage(name, out_dir, platform):
         "deform": stage_deform,
         "project": stage_project,
         "bin": stage_bin,
+        "bin2": stage_bin2,
+        "raster2": stage_raster2,
         "gather": stage_gather,
         "blend": stage_blend,
         "raster1": stage_raster1,

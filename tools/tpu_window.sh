@@ -16,23 +16,19 @@ mkdir -p "$LOG"
 echo "=== 1. compiled-vs-interpret-vs-golden crosscheck ==="
 timeout 1500 python tools/crosscheck_tpu.py --skip-probe 2>&1 | tee "$LOG/crosscheck.log"
 
-echo "=== 2. per-stage perf breakdown (project/bin/blend/raster/refiner) ==="
+echo "=== 2. per-stage perf breakdown (bin2/raster2 first: this round's levers) ==="
 timeout 4800 python tools/tpu_diag.py --skip-probe \
-  --stages project,bin,blend,raster1,refiner,full --out "$LOG/diag" \
+  --stages bin2,raster2,blend,full,refiner --out "$LOG/diag" \
   2>&1 | tee "$LOG/diag.log"
 
-echo "=== 2b. pipelined row-gather DMA bench ==="
-timeout 1800 python tools/dma_bench.py \
-  --variants rows_pipe:1,contig_pipe:1 2>&1 | tee "$LOG/dma_bench.log"
-
-echo "=== 3. parity benchmark (the BENCH number) ==="
+echo "=== 3. parity benchmark (the BENCH number; cull+NHWC defaults) ==="
 timeout 4800 python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
 
-echo "=== 4. full-size train-step compile + one step (VMEM proof) ==="
+echo "=== 4. batch-3 remat'd 512^2 train step (VERDICT r2 item 3a) ==="
 timeout 4800 python tools/compile_train_512.py --platform axon --execute \
-  2>&1 | tee "$LOG/compile_train_512.log"
+  --batch-size 3 2>&1 | tee "$LOG/compile_train_512_b3.log"
 
-echo "=== 5. variant sweep (tile/chunk/bf16) ==="
+echo "=== 5. variant sweep (cull/presort/tile/chunk/bf16) ==="
 timeout 3600 python tools/bench_variants.py --skip-probe 2>&1 | tee "$LOG/bench_variants.log"
 
 echo "=== done; logs in $LOG ==="
