@@ -10,8 +10,10 @@ TPU-first difference: the reference shells out to main/test.py per request
 one process owns the chip, compiled pipelines are reused across requests,
 and the status poller inspects the same output layout the reference does.
 
-Gradio is not bundled in every image; without it the app falls back to a
-CLI one-shot flow.
+Gradio is not bundled in every image; without it the app serves the same
+flows (galleries, generate, status polling, history) from a dependency-free
+stdlib http.server UI (`build_stdlib_app`), or runs a CLI one-shot flow with
+`--no_ui`.
 """
 
 import argparse
@@ -256,6 +258,154 @@ def build_gradio_app(args, service: GenerationService):
     return demo
 
 
+_PAGE = """<!doctype html><html><head><title>GUAVA-TPU avatar reenactment</title>
+<style>
+ body{font-family:sans-serif;margin:2em;max-width:1100px}
+ .gal{display:flex;flex-wrap:wrap;gap:8px}
+ .gal label{border:2px solid #ccc;border-radius:6px;padding:6px;cursor:pointer}
+ .gal input:checked+span{font-weight:bold;color:#06c}
+ .gal img{display:block;max-width:120px;max-height:120px}
+ button{margin:1em 1em 1em 0;padding:.5em 1.5em}
+ #status{padding:.5em;background:#f4f4f4;border-radius:4px;min-height:1.2em}
+ video{max-width:480px;display:block;margin-top:1em}
+ #history{display:flex;gap:8px;flex-wrap:wrap}
+</style></head><body>
+<h1>GUAVA-TPU &mdash; upper-body Gaussian avatar reenactment</h1>
+<div style="display:flex;gap:3em">
+ <div><h3>Source identity</h3><div class="gal" id="src"></div></div>
+ <div><h3>Driving motion</h3><div class="gal" id="vid"></div></div>
+</div>
+<button id="go">Generate</button><button id="check">Check status</button>
+<div id="status">idle</div>
+<video id="result" controls></video>
+<h3>Generation history</h3><div id="history"></div>
+<script>
+const sel = {src: null, vid: null};
+function gallery(el, kind, items) {
+  el.innerHTML = items.map((it, i) =>
+    `<label><input type=radio name=${kind} value="${it.name}" hidden>` +
+    (it.preview ? `<img src="/media/${it.preview}">` : "") +
+    `<span>${it.name}</span></label>`).join("");
+  el.querySelectorAll("input").forEach(r =>
+    r.addEventListener("change", () => { sel[kind] = r.value; }));
+}
+async function refresh() {
+  const it = await (await fetch("/api/items")).json();
+  gallery(document.getElementById("src"), "src", it.sources);
+  gallery(document.getElementById("vid"), "vid", it.videos);
+}
+async function call(ep) {
+  if (!sel.src || !sel.vid) {
+    document.getElementById("status").textContent =
+      "Please provide both a source and a driving input."; return;
+  }
+  const r = await (await fetch(
+    `/api/${ep}?src=${encodeURIComponent(sel.src)}&vid=${encodeURIComponent(sel.vid)}`,
+    {method: ep === "generate" ? "POST" : "GET"})).json();
+  document.getElementById("status").textContent = r.status;
+  if (r.result) {
+    document.getElementById("result").src = "/media/" + r.result;
+    const h = document.getElementById("history");
+    if (![...h.children].some(v => v.dataset.k === r.result)) {
+      const v = document.createElement("video");
+      v.src = "/media/" + r.result; v.width = 160; v.controls = true;
+      v.dataset.k = r.result; h.appendChild(v);
+    }
+  }
+}
+document.getElementById("go").onclick = () => call("generate");
+document.getElementById("check").onclick = () => call("status");
+refresh();
+</script></body></html>"""
+
+
+def build_stdlib_app(args, service: GenerationService):
+    """Dependency-free web UI with the Gradio app's exact flows: tracked
+    galleries, generate, check-status polling, per-result history
+    (ref: app.py:216-334). Serves from http.server; media paths are
+    whitelisted to the tracked dirs + save_dir."""
+    import http.server
+    import json as _json
+    import urllib.parse
+
+    img_dir = args.tracked_image_dir
+    vid_dir = args.tracked_video_dir
+    roots = [os.path.realpath(p)
+             for p in (img_dir, vid_dir, args.save_dir)]
+
+    def items():
+        def pack(root):
+            return [
+                {"name": c, "preview": os.path.relpath(p) if p else None}
+                for p, c in list_tracked(root)
+            ]
+        return {"sources": pack(img_dir), "videos": pack(vid_dir)}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _job(self):
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            src = q.get("src", [None])[0]
+            vid = q.get("vid", [None])[0]
+            return src, vid
+
+        def _status_payload(self, src, vid):
+            msg, path = service.check_status(src, vid)
+            rel = os.path.relpath(path) if path else None
+            return _json.dumps({"status": msg, "result": rel}).encode()
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/":
+                self._send(200, _PAGE.encode(), "text/html")
+            elif path == "/api/items":
+                self._send(200, _json.dumps(items()).encode())
+            elif path == "/api/status":
+                src, vid = self._job()
+                self._send(200, self._status_payload(src, vid))
+            elif path.startswith("/media/"):
+                rel = urllib.parse.unquote(path[len("/media/"):])
+                full = os.path.realpath(rel)
+                if not any(full.startswith(r + os.sep) or full == r
+                           for r in roots) or not os.path.isfile(full):
+                    self._send(404, b"{}")
+                    return
+                ctype = ("video/mp4" if full.endswith(".mp4")
+                         else "image/png" if full.endswith(".png")
+                         else "image/jpeg")
+                with open(full, "rb") as f:
+                    self._send(200, f.read(), ctype)
+            else:
+                self._send(404, b"{}")
+
+        def do_POST(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path != "/api/generate":
+                self._send(404, b"{}")
+                return
+            src, vid = self._job()
+            if not src or not vid:
+                self._send(200, _json.dumps({
+                    "status": "Please provide both a source and a driving input.",
+                    "result": None}).encode())
+                return
+            service.submit(os.path.join(img_dir, src), os.path.join(vid_dir, vid))
+            self._send(200, self._status_payload(src, vid))
+
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
+    print(f"[app] stdlib UI on http://127.0.0.1:{args.port}")
+    return httpd
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_path", "-m", type=str, default="assets/GUAVA")
@@ -270,6 +420,8 @@ if __name__ == "__main__":
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--no_ui", action="store_true",
                         help="run one generation without the web UI")
+    parser.add_argument("--tracked_image_dir", default=TRACKED_IMG_DIR)
+    parser.add_argument("--tracked_video_dir", default=TRACKED_VID_DIR)
     args = parser.parse_args()
 
     from guava_renderer_tpu.utils.platform import normalize_device_arg, pin_platform
@@ -284,10 +436,13 @@ if __name__ == "__main__":
         have_gradio = not args.no_ui
     except ImportError:
         have_gradio = False
-        print("[app] gradio unavailable — running CLI fallback")
+        if not args.no_ui:
+            print("[app] gradio unavailable — serving the stdlib web UI")
 
     if have_gradio:
         build_gradio_app(args, service).launch(server_port=args.port)
+    elif not args.no_ui:
+        build_stdlib_app(args, service).serve_forever()
     else:
         assert args.source_path and args.target_path, "--source_path/--target_path required"
         key = service.submit(args.source_path, args.target_path)
