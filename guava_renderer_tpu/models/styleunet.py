@@ -221,10 +221,17 @@ class StyleUNet(nn.Module):
             feat = feat + skips[li]
             feat = ResBlock(_chan(2**res, cs), "up", name=f"up{li}")(feat)
             ch = _chan(2**res, cs)
-            scale = Conv(ch, (3, 3), padding=1, name=f"cond_scale{li}a")(feat)
-            scale = Conv(ch, (3, 3), padding=1, name=f"cond_scale{li}b")(leaky_relu(scale))
-            shift = Conv(ch, (3, 3), padding=1, name=f"cond_shift{li}a")(feat)
-            shift = Conv(ch, (3, 3), padding=1, name=f"cond_shift{li}b")(leaky_relu(shift))
+            # the scale/shift first convs share `feat`: ONE matmul with the
+            # kernels concatenated along out-channels. MXU tile passes go as
+            # ceil(N/128), so N=2ch costs the same passes as N=ch — two
+            # convs for the price of one (the converter packs the torch
+            # condition_scale.{li}.0 / condition_shift.{li}.0 weights into
+            # cond_a{li}, train/weights.py)
+            ab = Conv(2 * ch, (3, 3), padding=1, name=f"cond_a{li}")(feat)
+            scale = Conv(ch, (3, 3), padding=1,
+                         name=f"cond_scale{li}b")(leaky_relu(ab[..., :ch]))
+            shift = Conv(ch, (3, 3), padding=1,
+                         name=f"cond_shift{li}b")(leaky_relu(ab[..., ch:]))
             conditions.extend([scale, shift])
 
         image = StyleGAN2GeneratorCSFT(

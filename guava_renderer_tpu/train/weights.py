@@ -192,9 +192,15 @@ def convert_styleunet(sd: dict, p: str, in_size: int, out_size: int,
         out["style_fuse1"] = _dense(sd, p + ".style_fuse.2")
     for li in range(log_size - 2):
         out[f"up{li}"] = _resblock(sd, f"{p}.conv_body_up.{li}")
-        out[f"cond_scale{li}a"] = _conv(sd, f"{p}.condition_scale.{li}.0")
+        # the flax module fuses the two first condition convs (shared
+        # input) into one out-channel-concatenated conv, models/styleunet.py
+        ca = _conv(sd, f"{p}.condition_scale.{li}.0")
+        cb = _conv(sd, f"{p}.condition_shift.{li}.0")
+        out[f"cond_a{li}"] = {
+            "kernel": np.concatenate([ca["kernel"], cb["kernel"]], axis=-1),
+            "bias": np.concatenate([ca["bias"], cb["bias"]]),
+        }
         out[f"cond_scale{li}b"] = _conv(sd, f"{p}.condition_scale.{li}.2")
-        out[f"cond_shift{li}a"] = _conv(sd, f"{p}.condition_shift.{li}.0")
         out[f"cond_shift{li}b"] = _conv(sd, f"{p}.condition_shift.{li}.2")
     out["generator"] = convert_generator(
         sd, p + ".stylegan_decoder", out_size, channel_scale, small, num_mlp
