@@ -376,3 +376,34 @@ def test_nopresort_gradients_match(scene):
     gb = loss(RasterizeSettings(chunk=8, presort=False))
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_antialiasing_matches_reference_with_cull(scene):
+    """antialiasing rescales alpha (forward.cu:215-223); the tile cull's
+    qcut must use the rescaled alpha, so the culled render still matches
+    the oracle with antialiasing on."""
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.zeros(C)
+    st = RasterizeSettings(chunk=16, antialiasing=True, tile_cull=True)
+    out_p, radii_p, _ = rasterize(means, colors, opac, scales, quats, cam, bg, st)
+    out_r, radii_r, _ = rasterize_reference(
+        means, colors, opac, scales, quats, cam, bg, antialiasing=True
+    )
+    np.testing.assert_array_equal(radii_p, radii_r)
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+
+
+def test_nhwc_layout_matches_chw(scene):
+    """rasterize(channels_first=False) is the same image in NHWC."""
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.linspace(0.0, 1.0, C)
+    st = RasterizeSettings(chunk=16)
+    chw, radii_a, invd_a = rasterize(means, colors, opac, scales, quats, cam, bg, st)
+    hwc, radii_b, invd_b = rasterize(
+        means, colors, opac, scales, quats, cam, bg, st, channels_first=False
+    )
+    np.testing.assert_array_equal(np.transpose(np.asarray(chw), (1, 2, 0)), hwc)
+    np.testing.assert_array_equal(np.asarray(invd_a)[0], np.asarray(invd_b)[..., 0])
+    np.testing.assert_array_equal(radii_a, radii_b)
