@@ -162,29 +162,50 @@ def project_gaussians(
     conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
 
     # Public radius: 3-sigma from the max eigenvalue, the reference's exact
-    # semantics (ref: forward.cu:237-240). Binning radius: tightened
-    # per-splat by opacity — a pixel only contributes when
-    # a0*exp(-power) >= 1/255 (the blend's skip, forward.cu:358-360), i.e.
-    # within sqrt(2*ln(255*a0)) sigmas; for low-opacity splats that is far
-    # inside 3 sigma, so the tighter rect renders bit-identically while
-    # duplicating into many fewer tiles (trained avatars carry a large
-    # near-transparent population). Consumers using radii for densification
+    # semantics (ref: forward.cu:237-240). Binning extents: tightened
+    # per-splat by opacity AND per-axis by the covariance diagonal. A pixel
+    # only contributes when a0*exp(-power) >= 1/255 (the blend's skip,
+    # forward.cu:358-360), i.e. inside the ellipse q <= 2*ln(255*a0), whose
+    # axis-aligned bounding box is +-sqrt(q_cut * cov_diag) — far tighter
+    # than the isotropic sigma_max circle for anisotropic splats. Clamped to
+    # the reference's 3-sigma circle box (the CUDA rect cuts there too, so
+    # pixels outside never contribute in either implementation). Renders
+    # bit-identically with fewer duplicated instances AND less cap
+    # truncation (the capped row-major slots land on contributing tiles
+    # instead of empty corners). Consumers using radii for densification
     # thresholds or CUDA-parity checks get the 3-sigma value (ADVICE r2).
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     sig = jnp.sqrt(jnp.maximum(lam, 0.0))
     a0 = opacities * alpha_scale
     # floor at 0.3 sigma: splats with a0 barely above 1/255 contribute only
-    # at their center pixel, which a zero radius would wrongly cull
-    nsig = jnp.clip(
-        jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * a0, 1.0))), 0.3, 3.0
+    # at their center pixel, which a zero radius would wrongly cull. NO
+    # upper clip here: high-opacity splats keep alpha >= 1/255 beyond
+    # 3*sqrt(cov_diag) (CUDA has no per-pixel 3-sigma test — only its rect
+    # cuts, at 3*sigma_max), so the ellipse arm uses the exact q_cut and
+    # only the circle arm enforces the reference's 3-sigma rect bound.
+    nsig = jnp.maximum(
+        jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * a0, 1.0))), 0.3
     )
     radius_f = jnp.ceil(3.0 * sig)
-    radius_bin_f = jnp.ceil(nsig * sig)
+    # +1 pixel: tile_rect's max-exclusive bound floor((m + r + T-1)/T)
+    # truncates the last tile when frac(m + r) < 1 (the CUDA getRect
+    # truncation, auxiliary.h:45-56); one pixel of slack makes the cover
+    # exact — floor((z + 1 + T-1)/T) = floor(z/T) + 1 for any float z.
+    # Clamped at the 3-sigma radius, where coverage reverts to the
+    # reference's own (truncating) rect semantics.
+    rx_f = jnp.minimum(
+        jnp.ceil(nsig * jnp.sqrt(jnp.maximum(a, 0.0))) + 1.0, radius_f)
+    ry_f = jnp.minimum(
+        jnp.ceil(nsig * jnp.sqrt(jnp.maximum(c, 0.0))) + 1.0, radius_f)
 
     valid = in_front & nonzero & (radius_f > 0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
-    radius_bin = jnp.where(valid, radius_bin_f, 0.0).astype(jnp.int32)
+    radius_bin = jnp.where(
+        valid[:, None],
+        jnp.stack([rx_f, ry_f], axis=-1),
+        0.0,
+    ).astype(jnp.int32)
 
     return ProjectedGaussians(
         mean2d=mean2d,
@@ -206,13 +227,17 @@ def tile_rect(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Tile-grid bounding rect per Gaussian (ref: auxiliary.h getRect).
 
-    Returns (x0, y0, x1, y1) int32; max-exclusive, clamped to the grid.
+    `radius` is (P,) isotropic or (P, 2) per-axis (rx, ry) extents in
+    pixels (the opacity-tightened ellipse bounding box, see
+    project_gaussians). Returns (x0, y0, x1, y1) int32; max-exclusive,
+    clamped to the grid.
     """
     gx = (width + tile - 1) // tile
     gy = (height + tile - 1) // tile
     r = radius.astype(jnp.float32)
-    x0 = jnp.clip(((mean2d[:, 0] - r) / tile).astype(jnp.int32), 0, gx)
-    y0 = jnp.clip(((mean2d[:, 1] - r) / tile).astype(jnp.int32), 0, gy)
-    x1 = jnp.clip(((mean2d[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, gx)
-    y1 = jnp.clip(((mean2d[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, gy)
+    rx, ry = (r[:, 0], r[:, 1]) if r.ndim == 2 else (r, r)
+    x0 = jnp.clip(((mean2d[:, 0] - rx) / tile).astype(jnp.int32), 0, gx)
+    y0 = jnp.clip(((mean2d[:, 1] - ry) / tile).astype(jnp.int32), 0, gy)
+    x1 = jnp.clip(((mean2d[:, 0] + rx + tile - 1) / tile).astype(jnp.int32), 0, gx)
+    y1 = jnp.clip(((mean2d[:, 1] + ry + tile - 1) / tile).astype(jnp.int32), 0, gy)
     return x0, y0, x1, y1

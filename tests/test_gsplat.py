@@ -407,3 +407,52 @@ def test_nhwc_layout_matches_chw(scene):
     np.testing.assert_array_equal(np.transpose(np.asarray(chw), (1, 2, 0)), hwc)
     np.testing.assert_array_equal(np.asarray(invd_a)[0], np.asarray(invd_b)[..., 0])
     np.testing.assert_array_equal(radii_a, radii_b)
+
+
+def test_peraxis_bin_extent_covers_all_contributions():
+    """Brute-force guard for the per-axis binning box: every pixel where
+    alpha >= 1/255 AND inside the reference's 3-sigma circle box must lie
+    inside the (rx, ry) box — the oracle shares tile_rect, so this checks
+    the bound itself, not oracle-vs-pallas agreement."""
+    from guava_renderer_tpu.ops.gsplat import ALPHA_MIN
+
+    rng = np.random.default_rng(11)
+    P = 400
+    means = np.zeros((P, 3), np.float32)
+    means[:, 0] = rng.uniform(-0.6, 0.6, P)
+    means[:, 1] = rng.uniform(-0.6, 0.6, P)
+    means[:, 2] = rng.uniform(2.5, 4.5, P)
+    # heavy anisotropy + full opacity range incl. ~1.0 (the nsig>3 regime)
+    scales = np.stack([
+        rng.lognormal(-3.0, 1.0, P),
+        rng.lognormal(-3.0, 1.0, P) * rng.lognormal(0, 1.0, P),
+        rng.lognormal(-3.0, 1.0, P) * rng.lognormal(0, 1.0, P),
+    ], -1).astype(np.float32)
+    quats = rng.normal(size=(P, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.004, 1.0, (P, 1)).astype(np.float32)
+    cam = make_cam(96)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), cam)
+
+    m = np.asarray(proj.mean2d)
+    con = np.asarray(proj.conic)
+    al = np.asarray(proj.alpha)
+    r3 = np.asarray(proj.radius).astype(np.float64)
+    rb = np.asarray(proj.radius_bin).astype(np.float64)  # (P, 2)
+    valid = np.asarray(proj.valid)
+
+    ys, xs = np.mgrid[0:96, 0:96].astype(np.float64)
+    bad = 0
+    for i in range(P):
+        if not valid[i]:
+            continue
+        dx = m[i, 0] - xs
+        dy = m[i, 1] - ys
+        power = -0.5 * (con[i, 0] * dx * dx + con[i, 2] * dy * dy) - con[i, 1] * dx * dy
+        contrib = (np.exp(power) * al[i] >= ALPHA_MIN) & (power <= 0)
+        in_circle_box = (np.abs(dx) <= r3[i]) & (np.abs(dy) <= r3[i])
+        in_axis_box = (np.abs(dx) <= rb[i, 0]) & (np.abs(dy) <= rb[i, 1])
+        bad += int(np.any(contrib & in_circle_box & ~in_axis_box))
+    assert bad == 0, f"{bad} gaussians have contributing pixels outside (rx, ry)"

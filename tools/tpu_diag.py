@@ -426,7 +426,7 @@ def stage_bin(sc):
             proj.depth, proj.mean2d, proj.radius_bin)
 
     def topk(r):
-        need = (r * r).astype(jnp.int32)
+        need = (r[:, 0] * r[:, 1]).astype(jnp.int32)
         return jax.lax.top_k(need, min(st.large_k, P))[1]
 
     if st.large_k > 0:
