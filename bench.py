@@ -81,7 +81,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               cost: bool = True, large_k: int = 8192,
               tpg_large: int = 32, instance_budget: int | None = None,
               dma_banks: int = 1, face_plan: bool = False,
-              presort: bool = True, tile_cull: bool = True) -> dict:
+              presort: bool = True, tile_cull: bool = True,
+              stats_only: bool = False) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -255,32 +256,40 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
             return acc + frame(avatar_, ehm_, ref_params_, acc * 1e-12 + i)
         return jax.lax.fori_loop(0, frames, body, 0.0)
 
-    t0 = time.time()
-    print(f"[bench] compiling {frames}-frame loop @{size}^2 ...",
-          file=sys.stderr, flush=True)
-    run.lower(avatar, ehm_arrays, ref_params, 0).compile()
-    print(f"[bench] compile done in {time.time()-t0:.0f}s; warming up",
-          file=sys.stderr, flush=True)
-    t0 = time.time()
-    r = float(run(avatar, ehm_arrays, ref_params, 0))  # warm up
-    print(f"[bench] warmup done in {time.time()-t0:.0f}s", file=sys.stderr,
-          flush=True)
-    best = 0.0
-    for rep in range(1, repeats + 1):
+    if stats_only:
+        # instance/truncation accounting only (frame-0 geometry; CPU-cheap:
+        # no Pallas blend, no refiner, no compile) — lets a chip-less
+        # session see what a raster-settings change does to the REAL
+        # bench scene
+        best = 0.0
+    else:
         t0 = time.time()
-        r = float(run(avatar, ehm_arrays, ref_params, rep))
-        dt = (time.time() - t0) / frames
-        best = max(best, 1.0 / dt)
-    # surface the headline immediately: the infer bench that follows has
-    # its own multi-minute compile and has died mid-tunnel before
-    print(f"[bench] render loop: {best:.2f} fps", file=sys.stderr, flush=True)
+        print(f"[bench] compiling {frames}-frame loop @{size}^2 ...",
+              file=sys.stderr, flush=True)
+        run.lower(avatar, ehm_arrays, ref_params, 0).compile()
+        print(f"[bench] compile done in {time.time()-t0:.0f}s; warming up",
+              file=sys.stderr, flush=True)
+        t0 = time.time()
+        float(run(avatar, ehm_arrays, ref_params, 0))  # warm up
+        print(f"[bench] warmup done in {time.time()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        best = 0.0
+        for rep in range(1, repeats + 1):
+            t0 = time.time()
+            float(run(avatar, ehm_arrays, ref_params, rep))
+            dt = (time.time() - t0) / frames
+            best = max(best, 1.0 / dt)
+        # surface the headline immediately: the infer bench that follows
+        # has its own multi-minute compile and has died mid-tunnel before
+        print(f"[bench] render loop: {best:.2f} fps", file=sys.stderr,
+              flush=True)
 
     stats = {
         "fps": best,
         "P": V + n_valid,
         "device": jax.devices()[0].device_kind,
     }
-    if not cost:
+    if not cost and not stats_only:
         return stats
 
     # --- FLOPs / bytes accounting (VERDICT r2 item 2) ---------------------
@@ -296,10 +305,13 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     )
     from guava_renderer_tpu.ops.gsplat_project import project_gaussians
 
-    xla_flops, xla_bytes = _total_cost(
-        jax.jit(lambda av, ea, rp, p: frame(av, ehm_rebuild(ea), rp, p)),
-        avatar, ehm_arrays, ref_params, 0.0,
-    )
+    if stats_only:
+        xla_flops = xla_bytes = 0.0
+    else:
+        xla_flops, xla_bytes = _total_cost(
+            jax.jit(lambda av, ea, rp, p: frame(av, ehm_rebuild(ea), rp, p)),
+            avatar, ehm_arrays, ref_params, 0.0,
+        )
 
     res0 = ehm_forward(ehm, base_body, base_flame)
     g0 = deform_with_vertices(avatar, res0.vertices, res0.vertex_transforms, faces)
@@ -487,6 +499,9 @@ def main():
                     help="skip the avatar-creation latency bench")
     ap.add_argument("--skip-cost", action="store_true",
                     help="skip XLA cost analysis (saves one compile each)")
+    ap.add_argument("--stats-only", action="store_true",
+                    help="no timing/compiles: print the instance/truncation"
+                         " stats of the real bench scene (works on CPU)")
     args = ap.parse_args()
     platform = "axon" if args.platform == "tpu" else args.platform
 
@@ -518,6 +533,7 @@ def main():
                 large_k=args.large_k, tpg_large=args.tpg_large,
                 dma_banks=args.banks, face_plan=args.face_plan,
                 presort=args.presort, tile_cull=args.tile_cull,
+                stats_only=args.stats_only,
             )
             break
         except Exception:

@@ -133,6 +133,39 @@ def _cull_qcut(conic, alpha):
     return jnp.where(psd, qcut, jnp.inf)
 
 
+def _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx, num_tiles):
+    """Per-gaussian rect -> (n, cap) tile ids (num_tiles = invalid slot).
+
+    Without cull params: the first `cap` rect tiles row-major (the original
+    static-cap semantics; what the CUDA-uncapped reference would emit when
+    the rect fits). With cull params: PRIORITY duplication — enumerate up
+    to a `window` of rect tiles, score each by the analytic max alpha over
+    the tile (the same q-min the cull uses), and keep the `cap` strongest
+    contributing tiles. Row-major truncation can drop a splat's CENTER
+    tile (a 3x3 rect at cap 2 emits two corner tiles); priority selection
+    makes the cap cut the fringe instead, and subsumes the cull (tiles
+    below the 1/255 floor sort to +inf and come out invalid)."""
+    rm_cap = cap if cp_ is None else max(2 * cap, min(16, num_tiles))
+    rw_c = jnp.minimum(rw_, rm_cap)
+    rh_c = jnp.minimum(rh_, (rm_cap + rw_c - 1) // jnp.maximum(rw_c, 1))
+    d = jnp.arange(rm_cap, dtype=jnp.int32)
+    dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
+    dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
+    in_rect = valid_[:, None] & (dy < rh_c[:, None])
+    tx = x0_[:, None] + dx
+    ty = y0_[:, None] + dy
+    if cp_ is None:
+        return jnp.where(in_rect, ty * gx + tx, num_tiles).astype(jnp.int32)
+    mx, my, ca, cb, cc, qcut = cp_
+    qmin = _slot_qmin(tx, ty, mx, my, ca, cb, cc, tile)
+    key = jnp.where(in_rect & (qmin <= qcut[:, None]), qmin, jnp.inf)
+    tid = (ty * gx + tx).astype(jnp.int32)
+    key_s, tid_s = jax.lax.sort((key, tid), dimension=1, num_keys=1)
+    key_s = key_s[:, :cap]
+    tid_s = tid_s[:, :cap]
+    return jnp.where(jnp.isfinite(key_s), tid_s, num_tiles).astype(jnp.int32)
+
+
 def _slot_qmin(tx, ty, mx, my, ca, cb, cc, tile):
     """Exact min of q(d) = ca*dx^2 + 2*cb*dx*dy + cc*dy^2 over the box of
     tile (tx, ty)'s pixel centers; d = pixel - mean.
@@ -216,22 +249,9 @@ def bin_gaussians(
         cp = None
 
     def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, depth_, cap, cp_):
-        """Rect -> up-to-`cap` (tile_id, gid, depth) rows, truncated
-        row-major. depth rides along as a broadcast (a (N,)-from-(P,)
-        gather here is the kind of XLA lowering the TPU punishes)."""
-        rw_c = jnp.minimum(rw_, cap)
-        rh_c = jnp.minimum(rh_, (cap + rw_c - 1) // jnp.maximum(rw_c, 1))
-        d = jnp.arange(cap, dtype=jnp.int32)
-        dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
-        dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
-        dup_valid = valid_[:, None] & (dy < rh_c[:, None])
-        tx = x0_[:, None] + dx
-        ty = y0_[:, None] + dy
-        if cp_ is not None:
-            mx, my, ca, cb, cc, qcut = cp_
-            dup_valid &= _slot_qmin(tx, ty, mx, my, ca, cb, cc, tile) <= qcut[:, None]
-        tid = jnp.where(dup_valid, ty * gx + tx, num_tiles).astype(jnp.int32)
         n = x0_.shape[0]
+        tid = _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx,
+                         num_tiles)
         gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
         depth_b = jnp.broadcast_to(depth_[:, None], (n, cap))
         return tid.reshape(-1), gid_b.reshape(-1), depth_b.reshape(-1)
@@ -370,19 +390,9 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
     tile = settings.tile
 
     def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, dkey_, cap, cp_):
-        rw_c = jnp.minimum(rw_, cap)
-        rh_c = jnp.minimum(rh_, (cap + rw_c - 1) // jnp.maximum(rw_c, 1))
-        d = jnp.arange(cap, dtype=jnp.int32)
-        dy = d[None, :] // jnp.maximum(rw_c[:, None], 1)
-        dx = d[None, :] % jnp.maximum(rw_c[:, None], 1)
-        dup_valid = valid_[:, None] & (dy < rh_c[:, None])
-        tx = x0_[:, None] + dx
-        ty = y0_[:, None] + dy
-        if cp_ is not None:
-            mx, my, ca, cb, cc, qcut = cp_
-            dup_valid &= _slot_qmin(tx, ty, mx, my, ca, cb, cc, tile) <= qcut[:, None]
-        tid = jnp.where(dup_valid, ty * gx + tx, num_tiles).astype(jnp.int32)
         n = x0_.shape[0]
+        tid = _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx,
+                         num_tiles)
         gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
         dkey_b = jnp.broadcast_to(dkey_[:, None], (n, cap))
         return tid.reshape(-1), gid_b.reshape(-1), dkey_b.reshape(-1)

@@ -56,13 +56,29 @@ def _psnr(a, b):
 
 
 def test_flat_cap_truncates_fat_tail(stress_scene):
-    """Documents the failure mode: a flat cap of 8 loses big-splat fringe."""
+    """Documents the failure mode: a flat ROW-MAJOR cap of 8 loses
+    big-splat cores (tile_cull=False disables the priority duplication
+    that otherwise keeps the strongest tiles)."""
     args, cam, bg, ref = stress_scene
     out, _, _ = jax.jit(lambda *a: rasterize(
-        *a, cam, bg, RasterizeSettings(tile=16, chunk=8,
+        *a, cam, bg, RasterizeSettings(tile=16, chunk=8, tile_cull=False,
                                        max_tiles_per_gaussian=8)))(*args)
     assert _psnr(np.asarray(out), ref) < 40.0, \
         "stress scene no longer stresses the flat cap — regenerate it"
+
+
+def test_priority_duplication_beats_row_major_under_cap(stress_scene):
+    """With the cull params present, the cap keeps the strongest tiles
+    (q-min priority): the same flat cap of 8 must render far closer to the
+    oracle than the row-major truncation above."""
+    args, cam, bg, ref = stress_scene
+    st = RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=8)
+    out, _, _ = jax.jit(lambda *a: rasterize(*a, cam, bg, st))(*args)
+    out_rm, _, _ = jax.jit(lambda *a: rasterize(
+        *a, cam, bg, st._replace(tile_cull=False)))(*args)
+    p_pri = _psnr(np.asarray(out), ref)
+    p_rm = _psnr(np.asarray(out_rm), ref)
+    assert p_pri > p_rm + 6.0, (p_pri, p_rm)
 
 
 def test_size_classed_duplication_is_exact(stress_scene):
