@@ -44,7 +44,7 @@ STAGES = [
 ]
 # measured r3a: XLA's (2.18M,128) gather = 35.3 s steady — replaced by the
 # in-kernel row gather; "gather" stage kept out of the default list
-EXTRA_STAGES = ["gather", "refiner2", "refiner3", "bin2", "raster2"]
+EXTRA_STAGES = ["gather", "refiner2", "refiner3", "bin2", "raster2", "quality512"]
 
 
 # --------------------------------------------------------------------------
@@ -863,6 +863,69 @@ def stage_refiner3(sc, reps=8):
             loop(resize_mm, big), jnp.float32(0), reps=2)
 
 
+def stage_quality512(sc):
+    """Quantify the cap-truncation quality cost on the full-scale scene
+    with the BENCH's trained-avatar scale/opacity mixture (the diag
+    scene's uniform draws don't truncate at all; the bench one loses 105k
+    instances to caps at the parity config, bench.py --stats-only): render
+    at the parity raster config and at a near-uncapped one (tpg 8 +
+    32768x64), print PSNR between them."""
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.avatar.deformer import deform_with_vertices
+    from guava_renderer_tpu.ops.gsplat import rasterize
+
+    # trained-avatar mixture, matching bench.py trained_stats_* exactly
+    rng = np.random.default_rng(0)
+
+    def mix_scales(n, base):
+        u = rng.uniform(0, 1, n)
+        s = np.where(
+            u < 0.85, rng.lognormal(-4.2, 0.3, n),
+            np.where(u < 0.95, rng.lognormal(-3.0, 0.3, n),
+                     rng.lognormal(-1.9, 0.4, n)),
+        ) * base
+        aniso = rng.lognormal(0, 0.2, (n, 2))
+        return jnp.asarray(
+            np.stack([s, s * aniso[:, 0], s * aniso[:, 1]], -1),
+            jnp.float32)[None]
+
+    def mix_opacity(n):
+        return jnp.asarray(
+            1.0 / (1.0 + np.exp(-rng.normal(-1.0, 1.5, (1, n, 1)))),
+            jnp.float32)
+
+    avatar = sc["avatar"]
+    V = avatar.vtx_positions.shape[1]
+    N_uv = avatar.uv_local_xyz.shape[1]
+    avatar = avatar._replace(
+        vtx_scales=mix_scales(V, 0.7), vtx_opacity=mix_opacity(V),
+        uv_scales=mix_scales(N_uv, 40.0), uv_opacity=mix_opacity(N_uv),
+    )
+    res = sc["ehm_forward"](sc["ehm"], sc["base_body"], sc["base_flame"])
+    gs = deform_with_vertices(avatar, res.vertices, res.vertex_transforms,
+                              sc["faces"])
+
+    cam, st = sc["cam"], sc["settings"]
+    hi = st._replace(max_tiles_per_gaussian=8, large_k=32768, tpg_large=64)
+
+    def render(stv):
+        fn = jax.jit(lambda x, c, o, s, q: rasterize(
+            x, c, o, s, q, cam, jnp.zeros(32), stv, channels_first=False)[0])
+        return np.asarray(fn(gs.xyz[0], gs.colors[0], gs.opacity[0],
+                             gs.scaling[0], gs.rotation[0]))
+
+    ref = render(hi)
+    for name, stv in [("parity", st),
+                      ("parity-nocull", st._replace(tile_cull=False))]:
+        out = render(stv)
+        mse = float(((out - ref) ** 2).mean())
+        psnr = float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
+        print(f"[quality512] {name} vs near-uncapped: psnr={psnr:.1f} dB "
+              f"maxdiff={np.abs(out - ref).max():.4f}", flush=True)
+
+
 def stage_full(sc, frames=3):
     import jax
     import jax.numpy as jnp
@@ -910,6 +973,7 @@ def run_stage(name, out_dir, platform):
         "bin": stage_bin,
         "bin2": stage_bin2,
         "raster2": stage_raster2,
+        "quality512": stage_quality512,
         "gather": stage_gather,
         "blend": stage_blend,
         "raster1": stage_raster1,

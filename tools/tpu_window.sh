@@ -18,7 +18,7 @@ timeout 1500 python tools/crosscheck_tpu.py --skip-probe 2>&1 | tee "$LOG/crossc
 
 echo "=== 2. per-stage perf breakdown (bin2/raster2 first: this round's levers) ==="
 timeout 4800 python tools/tpu_diag.py --skip-probe \
-  --stages bin2,raster2,blend,full,refiner --out "$LOG/diag" \
+  --stages quality512,bin2,raster2,blend,full,refiner --out "$LOG/diag" \
   2>&1 | tee "$LOG/diag.log"
 
 echo "=== 3. parity benchmark (the BENCH number; cull+NHWC defaults) ==="
