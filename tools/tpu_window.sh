@@ -26,7 +26,7 @@ timeout 4800 python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
 
 echo "=== 4. batch-3 remat'd 512^2 train step (VERDICT r2 item 3a) ==="
 timeout 4800 python tools/compile_train_512.py --platform axon --execute \
-  --batch-size 3 2>&1 | tee "$LOG/compile_train_512_b3.log"
+  --batch-size 3 --remat 2>&1 | tee "$LOG/compile_train_512_b3.log"
 
 echo "=== 5. variant sweep (cull/presort/tile/chunk/bf16) ==="
 timeout 3600 python tools/bench_variants.py --skip-probe 2>&1 | tee "$LOG/bench_variants.log"
