@@ -37,7 +37,8 @@ def build(platform, rows, p_rows):
 
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.uniform(0, 1, (p_rows, _PK)), jnp.float32)
-    idx = rng.integers(0, p_rows, rows).astype(np.int32)
+    # -2: the rows_pipe_2rows variant reads (idx, idx+1) pairs
+    idx = rng.integers(0, p_rows - 2, rows).astype(np.int32)
     M = -(-rows // 128) + 2
     idx2d = np.zeros((M, 128), np.int32)
     idx2d.reshape(-1)[:rows] = idx
@@ -47,13 +48,22 @@ def build(platform, rows, p_rows):
 def make_pipelined(name, rows):
     """Double-buffered row gather across a 1-D grid — the production
     kernel's structure (start c+1 in the other slot, wait c, consume) —
-    measuring true pipelined ns/row instead of bare DMA latency."""
+    measuring true pipelined ns/row instead of bare DMA latency.
+
+    rows_pipe_bf16: same gather over a bf16 table (256 B rows) — if this
+    halves ns/row the gather is byte/transaction-bound and a hi/lo bf16
+    packed-row layout buys ~2x in the blend; if not it is descriptor-
+    issue-bound and only FEWER rows help.
+    rows_pipe_2rows: one (2,128) DMA per two instances (half the
+    descriptors, same bytes) — the upper bound for any row-pairing scheme."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nchunks = rows // G
+    dt = jnp.bfloat16 if name == "rows_pipe_bf16" else jnp.float32
+    pair = name == "rows_pipe_2rows"
 
     def kernel(idx_hbm, table_hbm, o_ref, buf, sems, idx_sm, osems, acc_ref):
         c0 = pl.program_id(0)
@@ -66,6 +76,15 @@ def make_pipelined(name, rows):
 
         def rows_start(slot, c):
             o = jax.lax.rem(c * G, 128)
+            if pair:
+                for g in range(0, G, 2):
+                    q = o + g
+                    src = table_hbm.at[pl.ds(
+                        idx_sm[slot, q // 128, jax.lax.rem(q, 128)], 2)]
+                    pltpu.make_async_copy(
+                        src, buf.at[slot, pl.ds(g, 2)], sems.at[slot]
+                    ).start()
+                return
             for g in range(G):
                 q = o + g
                 if name == "contig_pipe":
@@ -99,7 +118,7 @@ def make_pipelined(name, rows):
             rows_start(1 - slot, c0 + 1)
 
         rows_wait(slot)
-        acc_ref[0, 0] += buf[slot, 0, 0]
+        acc_ref[0, 0] += buf[slot, 0, 0].astype(jnp.float32)
 
         @pl.when(c0 == nchunks - 1)
         def _():
@@ -116,14 +135,14 @@ def make_pipelined(name, rows):
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, G, _PK), jnp.float32),
+                pltpu.VMEM((2, G, _PK), dt),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((2, 2, 128), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((1, 1), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(idx2d, table)
+        )(idx2d, table.astype(dt))
 
     return fn
 
@@ -134,7 +153,8 @@ def make_variant(name, banks, rows):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if name in ("rows_pipe", "contig_pipe"):
+    if name in ("rows_pipe", "contig_pipe", "rows_pipe_bf16",
+                "rows_pipe_2rows"):
         return make_pipelined(name, rows)
 
     nchunks = rows // G
@@ -240,8 +260,10 @@ def main():
     ap.add_argument("--platform", default="axon")
     ap.add_argument("--rows", type=int, default=262144)
     ap.add_argument("--p-rows", type=int, default=262144)
-    ap.add_argument("--variants", default="rows_pipe:1,contig_pipe:1,contig:1,rows:1,rows:4",
+    ap.add_argument("--variants", default="rows_pipe:1,rows_pipe_bf16:1,rows_pipe_2rows:1,contig_pipe:1",
                     help="comma list of name:banks")
+    ap.add_argument("--skip-probe", action="store_true",
+                    help="accepted for playbook symmetry (no probe here)")
     args = ap.parse_args()
 
     table, idx2d = build(args.platform, args.rows, args.p_rows)

@@ -21,6 +21,9 @@ timeout 4800 python tools/tpu_diag.py --skip-probe \
   --stages quality512,bin2,raster2,blend,full,refiner --out "$LOG/diag" \
   2>&1 | tee "$LOG/diag.log"
 
+echo "=== 2b. row-gather DMA variants (bf16 rows / paired rows) ==="
+timeout 1800 python tools/dma_bench.py --skip-probe 2>&1 | tee "$LOG/dma_bench.log"
+
 echo "=== 3. parity benchmark (the BENCH number; cull+NHWC defaults) ==="
 timeout 4800 python bench.py --skip-probe 2>&1 | tee "$LOG/bench_parity.log"
 
