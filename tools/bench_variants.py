@@ -78,6 +78,7 @@ def main():
                 dma_banks=kw.get("dma_banks", 1),
                 face_plan=kw.get("face_plan", False),
                 presort=kw.get("presort", True),
+                tile_cull=kw.get("tile_cull", True),
             )
             fps, P = stats["fps"], stats["P"]
         except Exception:
