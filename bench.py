@@ -82,7 +82,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               tpg_large: int = 32, instance_budget: int | None = None,
               dma_banks: int = 1, face_plan: bool = False,
               presort: bool = True, tile_cull: bool = True,
-              stats_only: bool = False) -> dict:
+              streaming: bool = False, stats_only: bool = False) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -185,7 +185,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
                                  large_k=large_k, tpg_large=tpg_large,
                                  instance_budget=instance_budget,
                                  dma_banks=dma_banks, presort=presort,
-                                 tile_cull=tile_cull)
+                                 tile_cull=tile_cull, streaming=streaming)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -486,6 +486,10 @@ def main():
     ap.add_argument("--face-plan", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="face-sorted UV set + windowed MXU deformer gather")
+    ap.add_argument("--streaming", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="streaming blend: payload-carrying instance sort + "
+                         "contiguous block DMAs instead of per-row gathers")
     ap.add_argument("--skip-probe", action="store_true")
     # the driver runs `python bench.py` once at a time it chooses; surviving
     # ~20-30 min of tunnel flap is the difference between a recorded number
@@ -533,7 +537,7 @@ def main():
                 large_k=args.large_k, tpg_large=args.tpg_large,
                 dma_banks=args.banks, face_plan=args.face_plan,
                 presort=args.presort, tile_cull=args.tile_cull,
-                stats_only=args.stats_only,
+                streaming=args.streaming, stats_only=args.stats_only,
             )
             break
         except Exception:

@@ -100,6 +100,16 @@ class RasterizeSettings(NamedTuple):
     # instance saves one 512 B row DMA in the blend kernel (the frame's
     # single largest cost, ~10 ms of 40 ms at 454k instances).
     tile_cull: bool = True
+    # Streaming blend: carry the packed per-gaussian payload THROUGH the
+    # instance sort (jax.lax.sort moves every operand each pass — measured
+    # pass-count bound, not payload-width bound) and blend from CONTIGUOUS
+    # (chunk, 128) block DMAs instead of per-instance row gathers. The row
+    # gather is DMA-descriptor-issue bound at ~53-61 ns/row no matter the
+    # banks or row width (outputs/bench/tpu_window_r7/dma_bench.log) — at
+    # ~390k instances that descriptor floor alone is ~10 ms of the frame.
+    # Implies the nopresort instance ordering (depth ties resolve by
+    # duplication order); incompatible with instance_budget.
+    streaming: bool = False
     scale_modifier: float = 1.0
     antialiasing: bool = False
 
@@ -210,8 +220,16 @@ def bin_gaussians(
     settings: RasterizeSettings,
     conic: jnp.ndarray | None = None,
     alpha: jnp.ndarray | None = None,
+    payload: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Duplicate-with-keys + sort.
+
+    With `payload` (tuple of (P,) arrays) the call returns
+    (ranges, order, sorted_payload, num_valid, num_truncated): every column
+    is duplicated and carried through the instance sort so the caller can
+    assemble a contiguous per-instance table (streaming blend). The payload
+    path always uses the nopresort ordering (depth ties resolve by
+    duplication order instead of gaussian id; real scenes have no ties).
 
     Returns (ranges (T+1,), order (N,), num_valid, num_truncated).
     `order` indexes into the per-gaussian arrays; instances are grouped by
@@ -257,10 +275,10 @@ def bin_gaussians(
         return tid.reshape(-1), gid_b.reshape(-1), depth_b.reshape(-1)
 
     gids0 = jnp.arange(P, dtype=jnp.int32)
-    if not settings.presort:
+    if payload is not None or not settings.presort:
         return _bin_nopresort(
             depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
-            num_potential, settings, P, cp,
+            num_potential, settings, P, cp, payload=payload,
         )
 
     # Pre-sort the P gaussians by depth (ties keep id order), then
@@ -369,7 +387,7 @@ def bin_gaussians(
 
 
 def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
-                   num_potential, settings, P, cp=None):
+                   num_potential, settings, P, cp=None, payload=None):
     """Binning without the P-row depth presort.
 
     The presorted path exists to shrink the instance-sort payload, but
@@ -382,20 +400,28 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
     are positive, and invalid instances key on tile == num_tiles first).
     Stable sort ties resolve by gaussian id — the same semantics as the
     CUDA radix sort over [tile|depth] keys (rasterizer_impl.cu:292-311).
+
+    With `payload` (a tuple of (P,) i32/f32 arrays), every payload column
+    is duplicated alongside and carried THROUGH the instance sort (the
+    streaming blend's contiguous table); returns
+    (ranges, order, sorted_payload, num_valid, num_truncated) instead.
     """
     tpg = settings.max_tiles_per_gaussian
     large_k = min(settings.large_k, P)
     depth_bits = jax.lax.bitcast_convert_type(depth, jnp.int32)
 
     tile = settings.tile
+    pay = payload if payload is not None else ()
 
-    def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, dkey_, cap, cp_):
+    def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, dkey_, cap, cp_, pay_):
         n = x0_.shape[0]
         tid = _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx,
                          num_tiles)
         gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
         dkey_b = jnp.broadcast_to(dkey_[:, None], (n, cap))
-        return tid.reshape(-1), gid_b.reshape(-1), dkey_b.reshape(-1)
+        pay_b = tuple(
+            jnp.broadcast_to(p[:, None], (n, cap)).reshape(-1) for p in pay_)
+        return tid.reshape(-1), gid_b.reshape(-1), dkey_b.reshape(-1), pay_b
 
     if large_k > 0:
         need = jnp.where(valid, rw * rh, -1)
@@ -407,31 +433,50 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
         else:
             _, large_pos = jax.lax.top_k(need, large_k)
         base_valid = valid.at[large_pos].set(False)
-        tile_s, gid_s, dk_s = duplicate(
-            x0, y0, rw, rh, base_valid, gids0, depth_bits, tpg, cp)
+        tile_s, gid_s, dk_s, pay_s = duplicate(
+            x0, y0, rw, rh, base_valid, gids0, depth_bits, tpg, cp, pay)
         lg = lambda a: a[large_pos]  # noqa: E731
         cp_l = tuple(lg(a) for a in cp) if cp is not None else None
-        tile_l, gid_l, dk_l = duplicate(
+        tile_l, gid_l, dk_l, pay_l = duplicate(
             lg(x0), lg(y0), lg(rw), lg(rh), lg(valid), large_pos,
             lg(depth_bits), settings.tpg_large, cp_l,
+            tuple(lg(p) for p in pay),
         )
         tile_flat = jnp.concatenate([tile_s, tile_l])
         gid_flat = jnp.concatenate([gid_s, gid_l])
         dk_flat = jnp.concatenate([dk_s, dk_l])
+        pay_flat = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(pay_s, pay_l))
         num_emitted = jnp.sum(
             jnp.where(base_valid, _capped_emit(rw, rh, tpg), 0)
         ) + jnp.sum(jnp.where(
             lg(valid), _capped_emit(lg(rw), lg(rh), settings.tpg_large), 0))
     else:
-        tile_flat, gid_flat, dk_flat = duplicate(
-            x0, y0, rw, rh, valid, gids0, depth_bits, tpg, cp)
+        tile_flat, gid_flat, dk_flat, pay_flat = duplicate(
+            x0, y0, rw, rh, valid, gids0, depth_bits, tpg, cp, pay)
         num_emitted = jnp.sum(jnp.where(valid, _capped_emit(rw, rh, tpg), 0))
+
+    num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
+    num_truncated = num_potential - num_emitted
+
+    if payload is not None:
+        if settings.instance_budget is not None:
+            raise ValueError(
+                "streaming/payload binning is incompatible with "
+                "instance_budget (the budget compaction would have to "
+                "re-gather every payload column)")
+        sorted_tile, _, order, *spay = jax.lax.sort(
+            (tile_flat, dk_flat, gid_flat, *pay_flat), num_keys=2
+        )
+        ranges = jnp.searchsorted(
+            sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+            method="scan",
+        ).astype(jnp.int32)
+        return ranges, order, tuple(spay), num_valid, num_truncated
 
     sorted_tile, _, order = jax.lax.sort(
         (tile_flat, dk_flat, gid_flat), num_keys=2
     )
-    num_valid = jnp.sum((tile_flat < num_tiles).astype(jnp.int32))
-    num_truncated = num_potential - num_emitted
     return _finish_bin(sorted_tile, order, num_tiles, num_valid,
                        num_truncated, settings)
 
@@ -760,6 +805,113 @@ def _fwd_kernel(
 
     T = state_ref[0:1, :]
     out = acc_ref[:] + bg_ref[:] * T               # (CCH,1)*(1,PIX)
+    out_ref[:] = out.reshape(1, 1, _CCH, PIX)
+    t_ref[:] = T.reshape(1, 1, 1, PIX)
+
+
+def _fwd_stream_kernel(
+    ranges_ref,    # scalar prefetch (T+1,)
+    stream_hbm,    # (M_pad, _PK) per-INSTANCE packed rows, (tile, depth) sorted
+    bg_ref,        # (CCH, 1)
+    out_ref,       # block (1, 1, CCH, PIX)
+    t_ref,         # block (1, 1, 1, PIX)
+    buf,
+    sems,
+    acc_ref,       # scratch (CCH, PIX)
+    state_ref,     # scratch (8, PIX): row0 = T, row1 = dead
+    flag_ref,      # scratch SMEM (1,): 1 when every pixel saturated
+    *,
+    tile: int,
+    chunk: int,
+    grid_x: int,
+):
+    """Streaming blend: the tile's instance run is CONTIGUOUS in the sorted
+    stream table, so each chunk is ONE (G, _PK) block DMA at a dynamic dim-0
+    offset instead of G single-row gathers — the gather's ~53-61 ns/row
+    descriptor-issue floor (outputs/bench/tpu_window_r7/dma_bench.log)
+    becomes ~one descriptor per chunk. Blend math is identical to
+    _fwd_kernel (ref semantics: forward.cu:276-397)."""
+    G = chunk
+    PIX = tile * tile
+    t_idx = pl.program_id(0) * grid_x + pl.program_id(1)
+    start = ranges_ref[t_idx]
+    end = ranges_ref[t_idx + 1]
+    num = end - start
+    nchunks = pl.cdiv(num, G)
+    px, py = _pixel_coords(tile)
+
+    def blk(slot, c):
+        # over-reads past the run's end land in the next tile's rows (the
+        # stream is contiguous; the table is padded by one chunk at the
+        # very end) and are masked out of the blend below
+        return pltpu.make_async_copy(
+            stream_hbm.at[pl.ds(start + c * G, G)], buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        blk(0, 0).start()
+
+    acc_ref[:] = jnp.zeros((_CCH, PIX), jnp.float32)
+    state_ref[:] = jnp.zeros((8, PIX), jnp.float32)
+    state_ref[0:1, :] = jnp.ones((1, PIX), jnp.float32)
+    flag_ref[0] = 0
+
+    def cond(c):
+        return (c < nchunks) & (flag_ref[0] == 0)
+
+    def body(c):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            blk(1 - slot, c + 1).start()
+
+        blk(slot, c).wait()
+        data = buf[slot]              # (G, _PK)
+        geom = data[:, :_GEOM]
+        colors = data[:, _GEOM:_GEOM + _CCH]      # (G, CCH)
+
+        T = state_ref[0:1, :]
+        alive = state_ref[1:2, :] < 0.5
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        mask2d = ((j + c * G) < num) & alive
+        at, _, _, _ = _chunk_alphas(geom, px, py, mask2d)
+
+        P_incl = T * _cumprod_sublanes(1.0 - at, G)   # (G, PIX)
+        live = P_incl >= T_MIN
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == 0
+        E = jnp.where(row0, T, pltpu.roll(P_incl, 1, axis=0))
+        w = jnp.where(live, at * E, 0.0)
+
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            colors, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        T_new = jnp.min(jnp.where(live, P_incl, jnp.inf), axis=0, keepdims=True)
+        T = jnp.minimum(T, T_new)
+        died = jnp.any((at > 0.0) & jnp.logical_not(live), axis=0, keepdims=True)
+        dead_f = jnp.maximum(state_ref[1:2, :], died.astype(jnp.float32))
+        state_ref[0:1, :] = T
+        state_ref[1:2, :] = dead_f
+        flag_ref[0] = (jnp.min(dead_f) > 0.5).astype(jnp.int32)
+        return c + 1
+
+    cf = jax.lax.while_loop(cond, body, 0)
+
+    # early-exit drain: body(cf-1) left the block for chunk cf in flight;
+    # an un-waited DMA landing into reused scratch on the next grid step
+    # is a race
+    @pl.when(cf < nchunks)
+    def _():
+        blk(jax.lax.rem(cf, 2), cf).wait()
+
+    T = state_ref[0:1, :]
+    out = acc_ref[:] + bg_ref[:] * T
     out_ref[:] = out.reshape(1, 1, _CCH, PIX)
     t_ref[:] = T.reshape(1, 1, 1, PIX)
 
@@ -1093,6 +1245,94 @@ def _blend_bwd(height, width, tile, chunk, banks, res, grads):
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 
 
+def _stream_fwd_call(stream, ranges, bg, height, width, tile, chunk):
+    gy = height // tile
+    gx = width // tile
+    PIX = tile * tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((_CCH, 1), lambda i, j, r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, _CCH, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, _PK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_CCH, PIX), jnp.float32),
+            pltpu.VMEM((8, PIX), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_fwd_stream_kernel, tile=tile, chunk=chunk,
+                               grid_x=gx)
+    out, t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gy, gx, _CCH, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, 1, PIX), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(ranges, stream, bg.reshape(_CCH, 1))
+    return out, t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def blend_tiles_stream(table, stream, order, ranges, bg, height, width,
+                       tile, chunk, banks=1):
+    """Streaming blend: stream (M_pad, _PK) per-INSTANCE rows in (tile,
+    depth)-sorted order (contiguous tile runs), plus the per-GAUSSIAN table
+    (P, _PK) and order/ranges the RMW backward kernel consumes.
+
+    Forward reads ONLY `stream` (one block DMA per chunk); `table`/`order`
+    exist so gradients flow to the per-gaussian rows through the same
+    _bwd_kernel as the gather path. Callers must ensure stream rows carry
+    the same values as table[order] (rasterize() builds both from one
+    projection; colors are bf16-rounded in BOTH paths by the MXU matmul)."""
+    out, t = _stream_fwd_call(stream, ranges, bg, height, width, tile, chunk)
+    return out, t
+
+
+def _blend_fwd_stream(table, stream, order, ranges, bg, height, width,
+                      tile, chunk, banks):
+    out, t = _stream_fwd_call(stream, ranges, bg, height, width, tile, chunk)
+    return (out, t), (table, order, ranges, bg, out, t)
+
+
+def _blend_bwd_stream(height, width, tile, chunk, banks, res, grads):
+    d_table, _, _, g_bg = _blend_bwd(height, width, tile, chunk, banks, res,
+                                     grads)
+    return d_table, None, None, None, g_bg
+
+
+blend_tiles_stream.defvjp(_blend_fwd_stream, _blend_bwd_stream)
+
+
+def _pack_colors_bf16(colors, invd):
+    """(P, 32) f32 colors + (P,) invdepth -> (P, 17) i32 of bf16 pairs.
+
+    bf16 is lossless w.r.t. the blend output: the MXU matmul rounds its
+    color inputs to bf16 in BOTH paths (see _fwd_kernel's dot_general
+    precision note), so pre-rounding through the sort changes nothing."""
+    P = colors.shape[0]
+    c = jnp.concatenate(
+        [colors, invd[:, None], jnp.zeros((P, 1), colors.dtype)], axis=-1
+    ).astype(jnp.bfloat16)                       # (P, 34)
+    return jax.lax.bitcast_convert_type(c.reshape(P, 17, 2), jnp.int32)
+
+
+def _unpack_colors_bf16(packed):
+    """(M, 17) i32 -> (M, 34) f32 (colors 0..31, invdepth, pad)."""
+    M = packed.shape[0]
+    c = jax.lax.bitcast_convert_type(packed, jnp.bfloat16)  # (M, 17, 2)
+    return c.reshape(M, 34).astype(jnp.float32)
+
+
 def _tiled_to_image(x: jnp.ndarray, height: int, width: int, tile: int) -> jnp.ndarray:
     """(gy, gx, C, tile*tile) -> (height, width, C)."""
     gy, gx, C, _ = x.shape
@@ -1143,17 +1383,35 @@ def rasterize(
     contributing = proj.valid & (
         jax.lax.stop_gradient(proj.alpha) >= ALPHA_MIN
     )
-    ranges, order, _, _ = bin_gaussians(
-        jax.lax.stop_gradient(proj.mean2d),
-        jax.lax.stop_gradient(proj.depth),
-        proj.radius_bin,
-        contributing,
-        W, H, settings,
-        conic=jax.lax.stop_gradient(proj.conic),
-        alpha=jax.lax.stop_gradient(proj.alpha),
-    )
+    mean2d_sg = jax.lax.stop_gradient(proj.mean2d)
+    depth_sg = jax.lax.stop_gradient(proj.depth)
+    conic_sg = jax.lax.stop_gradient(proj.conic)
+    alpha_sg = jax.lax.stop_gradient(proj.alpha)
 
-    # gather per-instance packed data (differentiable take)
+    spay = None
+    if settings.streaming:
+        # the packed per-gaussian payload rides THROUGH the instance sort
+        # (geometry f32 exact; colors+invdepth bf16-packed in i32 pairs —
+        # lossless vs the blend's bf16-input MXU matmul)
+        invd_sg = 1.0 / jnp.maximum(depth_sg, 1e-8)
+        pc = _pack_colors_bf16(jax.lax.stop_gradient(colors), invd_sg)
+        payload = (
+            mean2d_sg[:, 0], mean2d_sg[:, 1],
+            conic_sg[:, 0], conic_sg[:, 1], conic_sg[:, 2], alpha_sg,
+            *(pc[:, i] for i in range(pc.shape[1])),
+        )
+        ranges, order, spay, _, _ = bin_gaussians(
+            mean2d_sg, depth_sg, proj.radius_bin, contributing, W, H,
+            settings, conic=conic_sg, alpha=alpha_sg, payload=payload,
+        )
+    else:
+        ranges, order, _, _ = bin_gaussians(
+            mean2d_sg, depth_sg, proj.radius_bin, contributing, W, H,
+            settings, conic=conic_sg, alpha=alpha_sg,
+        )
+
+    # per-gaussian packed rows (differentiable: the custom_vjp's gradient
+    # surface in BOTH paths)
     invd = 1.0 / jnp.maximum(proj.depth, 1e-8)
     P = means3d.shape[0]
     zeros2 = jnp.zeros((P, 2), jnp.float32)
@@ -1181,8 +1439,28 @@ def rasterize(
     )
 
     bg_ext = jnp.concatenate([bg, jnp.zeros(_CCH - NUM_CHANNELS, bg.dtype)])
-    out4, _ = blend_tiles(per_gauss, order, ranges, bg_ext, H, W, tile,
-                          settings.chunk, settings.dma_banks)
+    if settings.streaming:
+        M = spay[0].shape[0]
+        g6 = jnp.stack(spay[:6], axis=1)                       # (M, 6)
+        col34 = _unpack_colors_bf16(jnp.stack(spay[6:], axis=1))
+        stream = jnp.concatenate(
+            [
+                g6,
+                jnp.zeros((M, _GEOM - 6), jnp.float32),
+                col34[:, :NUM_CHANNELS + 1],                    # colors+invd
+                jnp.zeros((M, _PK - _GEOM - NUM_CHANNELS - 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        # one-chunk tail margin: the last tile's final block may over-read
+        stream = jnp.concatenate(
+            [stream, jnp.zeros((G, _PK), jnp.float32)], axis=0)
+        out4, _ = blend_tiles_stream(per_gauss, stream, order, ranges,
+                                     bg_ext, H, W, tile, settings.chunk,
+                                     settings.dma_banks)
+    else:
+        out4, _ = blend_tiles(per_gauss, order, ranges, bg_ext, H, W, tile,
+                              settings.chunk, settings.dma_banks)
     out = _tiled_to_image(out4, H, W, tile)  # (H, W, CCH)
 
     if not channels_first:

@@ -456,3 +456,103 @@ def test_peraxis_bin_extent_covers_all_contributions():
         in_axis_box = (np.abs(dx) <= rb[i, 0]) & (np.abs(dy) <= rb[i, 1])
         bad += int(np.any(contrib & in_circle_box & ~in_axis_box))
     assert bad == 0, f"{bad} gaussians have contributing pixels outside (rx, ry)"
+
+
+# ---------------------------------------------------------------------------
+# streaming blend path (payload-carrying sort + contiguous block DMAs)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_matches_base_with_bf16_colors(scene):
+    """The streaming blend carries colors bf16-packed through the instance
+    sort; feeding the GATHER path bf16-pre-rounded colors must reproduce the
+    streaming color channels exactly (geometry rides f32 in both paths, and
+    the blend weights depend only on geometry). On TPU the MXU rounds color
+    inputs to bf16 in both paths anyway (see _fwd_kernel precision note), so
+    streaming is lossless there; this isolates the one intended delta."""
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.linspace(0.0, 1.0, C)
+    colors_bf = colors.astype(jnp.bfloat16).astype(jnp.float32)
+    out_s, radii_s, invd_s = rasterize(
+        means, colors, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=16, streaming=True),
+    )
+    out_b, radii_b, invd_b = rasterize(
+        means, colors_bf, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=16, presort=False),
+    )
+    np.testing.assert_array_equal(radii_s, radii_b)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b), atol=2e-6)
+    # invdepth is bf16-rounded in the stream (documented delta)
+    np.testing.assert_allclose(
+        np.asarray(invd_s), np.asarray(invd_b), atol=2e-3)
+
+
+def test_streaming_dense_overlap_and_large_k(scene):
+    """Early termination + the size-classed (large_k) duplication both ride
+    the payload sort; check against the dense oracle at bf16 tolerance."""
+    rng = np.random.default_rng(23)
+    means, colors, opac, scales, quats = make_scene(
+        rng, P=128, spread=0.15, opacity_hi=0.999
+    )
+    opac = jnp.clip(opac * 1.2, 0, 0.999)
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+    out_s, _, invd_s = rasterize(
+        means, colors, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=8, streaming=True, large_k=4, tpg_large=16),
+    )
+    out_r, _, invd_r = rasterize_reference(
+        means, colors, opac, scales, quats, cam, bg)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r), atol=4e-3)
+    np.testing.assert_allclose(np.asarray(invd_s), np.asarray(invd_r), atol=2e-3)
+
+
+def test_streaming_gradients_close(scene):
+    """Gradients flow through the per-gaussian table (same RMW backward as
+    the gather path); only the residual out/T differ by bf16 color rounding,
+    so grads agree to ~bf16 relative tolerance."""
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(32)
+    bg = jnp.zeros(C)
+
+    def grads(st):
+        def f(m, c, o, s, q):
+            col, _, invd = rasterize(m, c, o, s, q, cam, bg, st)
+            return jnp.sum(col ** 2) + 0.1 * jnp.sum(invd)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(
+            means, colors, opac, scales, quats)
+
+    gs = grads(RasterizeSettings(chunk=8, streaming=True))
+    gb = grads(RasterizeSettings(chunk=8, presort=False))
+    for name, x, y in zip("means colors opac scales quats".split(), gs, gb):
+        scale = float(jnp.max(jnp.abs(y))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(x) / scale, np.asarray(y) / scale, atol=2e-2,
+            err_msg=name)
+
+
+def test_streaming_empty_scene():
+    cam = make_cam(32)
+    bg = jnp.linspace(0.2, 0.8, C)
+    means = jnp.asarray([[0.0, 0.0, -5.0]])  # behind camera -> culled
+    out, radii, invd = rasterize(
+        means, jnp.ones((1, C)), jnp.ones((1, 1)), jnp.full((1, 3), 0.05),
+        jnp.asarray([[1.0, 0, 0, 0]]), cam, bg,
+        RasterizeSettings(chunk=8, streaming=True),
+    )
+    assert int(radii[0]) == 0
+    np.testing.assert_allclose(
+        out, np.broadcast_to(np.asarray(bg)[:, None, None], (C, 32, 32)),
+        atol=1e-6)
+
+
+def test_streaming_rejects_instance_budget(scene):
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(32)
+    with pytest.raises(ValueError, match="instance_budget"):
+        rasterize(
+            means, colors, opac, scales, quats, cam, jnp.zeros(C),
+            RasterizeSettings(chunk=8, streaming=True, instance_budget=256),
+        )

@@ -35,6 +35,11 @@ VARIANTS = [
     ("cull-tpglarge16", dict(PARITY, tpg_large=16)),
     ("cull-largek16k", dict(PARITY, large_k=16384)),
     ("cull-chunk64", dict(PARITY, chunk=64)),
+    # streaming blend: payload-carrying sort + contiguous block DMAs
+    # (replaces the row gather's ~53-61 ns/row descriptor floor)
+    ("parity-stream", dict(PARITY, streaming=True)),
+    ("parity-stream-chunk64", dict(PARITY, streaming=True, chunk=64)),
+    ("parity-stream-chunk128", dict(PARITY, streaming=True, chunk=128)),
 ]
 QUICK = [0, 1, 2, 3]
 
@@ -48,6 +53,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--body-side", type=int, default=101)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="run only variants whose label contains this "
+                         "substring (e.g. 'stream')")
     ap.add_argument("--skip-probe", action="store_true",
                     help="caller already probed the tunnel")
     args = ap.parse_args()
@@ -63,6 +71,8 @@ def main():
             return
 
     variants = [VARIANTS[i] for i in QUICK] if args.quick else VARIANTS
+    if args.only:
+        variants = [(l, kw) for l, kw in variants if args.only in l]
     best = (None, 0.0)
     for label, kw in variants:
         t0 = time.time()
@@ -79,6 +89,7 @@ def main():
                 face_plan=kw.get("face_plan", False),
                 presort=kw.get("presort", True),
                 tile_cull=kw.get("tile_cull", True),
+                streaming=kw.get("streaming", False),
             )
             fps, P = stats["fps"], stats["P"]
         except Exception:
