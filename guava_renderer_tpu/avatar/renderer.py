@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -103,26 +104,48 @@ class GaussianRenderer(nn.Module):
         if bg is None:
             bg = jnp.zeros(32, jnp.float32)
 
-        feats, radiis, invds = [], [], []
-        for b in range(B):
+        if isinstance(cams, (list, tuple)):
+            cam0 = cams[0]
+            Rs = jnp.stack([c.R for c in cams])
+            ts = jnp.stack([c.t for c in cams])
+            fxs = jnp.stack([jnp.asarray(c.tanfovx, jnp.float32) for c in cams])
+            fys = jnp.stack([jnp.asarray(c.tanfovy, jnp.float32) for c in cams])
+        else:
+            cam0 = cams
+            Rs = jnp.broadcast_to(cams.R, (B, 3, 3))
+            ts = jnp.broadcast_to(cams.t, (B, 3))
+            fxs = jnp.broadcast_to(jnp.asarray(cams.tanfovx, jnp.float32), (B,))
+            fys = jnp.broadcast_to(jnp.asarray(cams.tanfovy, jnp.float32), (B,))
+
+        def _render_one(xs):
+            xyz, col, opa, sca, rot, R, t, fx, fy = xs
+            cam = Camera(R=R, t=t, tanfovx=fx, tanfovy=fy,
+                         width=cam0.width, height=cam0.height,
+                         znear=cam0.znear, zfar=cam0.zfar)
             # NHWC straight out of the rasterizer: the refiner and losses
             # are NHWC, so the (C,H,W) API layout would cost two full-image
             # relayouts per frame
             color, radii, invd = rasterize(
-                gaussians.xyz[b],
-                gaussians.colors[b],
-                gaussians.opacity[b],
-                gaussians.scaling[b],
-                gaussians.rotation[b],
-                cams[b] if isinstance(cams, (list, tuple)) else cams,
-                bg,
-                self.settings,
+                xyz, col, opa, sca, rot, cam, bg, self.settings,
                 channels_first=False,
             )
-            feats.append(color)  # (H, W, 32)
-            radiis.append(radii)
-            invds.append(invd[:, :, 0])
-        feature_renders = jnp.stack(feats)
+            return color, radii, invd[:, :, 0]
+
+        xs = (gaussians.xyz, gaussians.colors, gaussians.opacity,
+              gaussians.scaling, gaussians.rotation, Rs, ts, fxs, fys)
+        if B == 1:
+            # no scan wrapper for the single-image hot path (inference)
+            color, radii, invd = _render_one(
+                jax.tree_util.tree_map(lambda a: a[0], xs))
+            feats = (color[None], radii[None], invd[None])
+        else:
+            # lax.map (scan), NOT a Python loop: an unrolled batch clones
+            # the whole raster fwd+bwd graph per item — at batch 3 the 512^2
+            # train step's MLIR hits ~52 MB and the remote TPU compiler
+            # rejects it — and a scan also serializes the raster temporaries
+            # (one item's ~3 GiB at a time instead of B at once).
+            feats = jax.lax.map(_render_one, xs)
+        feature_renders, radiis, invds = feats
         rng = self.make_rng("noise") if self.has_rng("noise") else None
         rsize = self.refiner_size or self.image_size
         refiner_in = feature_renders
@@ -147,6 +170,6 @@ class GaussianRenderer(nn.Module):
             raw_renders=feature_renders[..., :3],
             feature_renders=feature_renders,
             extra_renders=feature_renders[..., 3:6],
-            radii=jnp.stack(radiis),
-            invdepth=jnp.stack(invds),
+            radii=radiis,
+            invdepth=invds,
         )
