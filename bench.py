@@ -82,7 +82,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               tpg_large: int = 32, instance_budget: int | None = None,
               dma_banks: int = 1, face_plan: bool = False,
               presort: bool = True, tile_cull: bool = True,
-              streaming: bool = False, stats_only: bool = False) -> dict:
+              streaming: bool = False, stats_only: bool = False,
+              size_classes: tuple = ()) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -185,7 +186,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
                                  large_k=large_k, tpg_large=tpg_large,
                                  instance_budget=instance_budget,
                                  dma_banks=dma_banks, presort=presort,
-                                 tile_cull=tile_cull, streaming=streaming)
+                                 tile_cull=tile_cull, streaming=streaming,
+                                 size_classes=size_classes)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -464,6 +466,10 @@ def main():
     ap.add_argument("--tpg", type=int, default=2)
     ap.add_argument("--large-k", type=int, default=8192)
     ap.add_argument("--tpg-large", type=int, default=32)
+    ap.add_argument("--size-classes", default="",
+                    help="multi-class cap ladder 'count:cap,count:cap,...' "
+                         "by descending rect area (supersedes large_k/"
+                         "tpg_large; zero-truncation exact configs)")
     ap.add_argument("--banks", type=int, default=1,
                     help="DMA semaphore banks for the row gather")
     ap.add_argument("--repeats", type=int, default=3)
@@ -509,6 +515,11 @@ def main():
     args = ap.parse_args()
     platform = "axon" if args.platform == "tpu" else args.platform
 
+    size_classes = tuple(
+        tuple(int(v) for v in pair.split(":"))
+        for pair in args.size_classes.split(",") if pair
+    )
+
     from guava_renderer_tpu.utils.platform import probe_backend_retry
 
     if platform == "axon" and not args.skip_probe:
@@ -538,6 +549,7 @@ def main():
                 dma_banks=args.banks, face_plan=args.face_plan,
                 presort=args.presort, tile_cull=args.tile_cull,
                 streaming=args.streaming, stats_only=args.stats_only,
+                size_classes=size_classes,
             )
             break
         except Exception:
@@ -597,8 +609,11 @@ def main():
 
     emit(
         f"self-reenactment render FPS @{args.size}px, P={stats['P']} gaussians, "
-        f"tile={args.tile} chunk={args.chunk} tpg={args.tpg}+{args.large_k}x{args.tpg_large} (parity config"
-        f"{', bf16 refiner' if args.bf16 else ''}), {platform} chip",
+        f"tile={args.tile} chunk={args.chunk} "
+        + (f"tpg={args.tpg}+ladder[{args.size_classes}] (exact config"
+           if size_classes else
+           f"tpg={args.tpg}+{args.large_k}x{args.tpg_large} (parity config")
+        + f"{', bf16 refiner' if args.bf16 else ''}), {platform} chip",
         fps,
         **extra,
     )

@@ -123,6 +123,10 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         dma_banks=raster_cfg.get("dma_banks", 1),
         presort=bool(raster_cfg.get("presort", True)),
         tile_cull=bool(raster_cfg.get("tile_cull", True)),
+        # multi-class cap ladder: [[count, cap], ...] by descending area
+        size_classes=tuple(
+            (int(c), int(k)) for c, k in raster_cfg.get("size_classes", ())
+        ),
     )
     banks = int(raster_cfg.get("dma_banks", 1))
     assert int(raster_cfg.get("chunk", 32)) % max(banks, 1) == 0, (

@@ -188,3 +188,60 @@ def test_tile_cull_lossless_and_effective(stress_scene):
         assert ntr_cull == ntr_rect == 0
         np.testing.assert_allclose(out_cull, out_rect, atol=2e-5)
         assert _psnr(out_cull, ref) > 60.0
+
+
+def test_multiclass_duplication_is_exact(stress_scene):
+    """size_classes ladder (generalized large_k): oracle-exact with far
+    fewer static sort rows than one huge flat class. 3 classes + base."""
+    args, cam, bg, ref = stress_scene
+    st = RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=2,
+                           size_classes=((16, 64), (48, 24), (96, 8)))
+    out, _, _ = jax.jit(lambda *a: rasterize(*a, cam, bg, st))(*args)
+    assert _psnr(np.asarray(out), ref) > 60.0
+
+
+def test_multiclass_truncation_counter_and_rows(stress_scene):
+    """the ladder reaches zero truncation; a too-short ladder reports the
+    shortfall (never silently)."""
+    from guava_renderer_tpu.ops.gsplat import ALPHA_MIN, bin_gaussians
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    args, cam, bg, _ = stress_scene
+    means, colors, opac, scales, quats = args
+
+    def count(st):
+        proj = project_gaussians(means, scales, quats, opac, cam,
+                                 st.scale_modifier, st.antialiasing)
+        contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
+        ranges, order, nv, ntr = jax.jit(
+            lambda m, d, r, v: bin_gaussians(m, d, r, v, SIZE, SIZE, st)
+        )(proj.mean2d, proj.depth, proj.radius_bin, contributing)
+        return int(nv), int(ntr), int(order.shape[0])
+
+    nv, ntr, rows = count(RasterizeSettings(
+        tile=16, chunk=8, max_tiles_per_gaussian=2,
+        size_classes=((16, 64), (48, 24), (96, 8))))
+    assert ntr == 0, f"ladder should be truncation-free, lost {ntr}"
+    # static rows: P*2 + 16*64 + 48*24 + 96*8 = 1200+1024+1152+768
+    assert rows == P * 2 + 16 * 64 + 48 * 24 + 96 * 8
+
+    nv2, ntr2, _ = count(RasterizeSettings(
+        tile=16, chunk=8, max_tiles_per_gaussian=2,
+        size_classes=((8, 16),)))
+    assert ntr2 > 0
+    assert nv2 + ntr2 == nv + ntr
+
+
+def test_multiclass_gradients_flow(stress_scene):
+    args, cam, bg, _ = stress_scene
+    st = RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=2,
+                           size_classes=((16, 64), (48, 24), (96, 8)))
+
+    def loss(m, c, o, s, q):
+        col, _, _ = rasterize(m, c, o, s, q, cam, bg, st)
+        return jnp.sum(col ** 2)
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(*args)
+    for g, name in zip(grads, ("means", "colors", "opac", "scales", "quats")):
+        assert bool(jnp.all(jnp.isfinite(g))), name
+        assert float(jnp.abs(g).max()) > 0, name
