@@ -83,7 +83,7 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               dma_banks: int = 1, face_plan: bool = False,
               presort: bool = True, tile_cull: bool = True,
               streaming: bool = False, stats_only: bool = False,
-              size_classes: tuple = ()) -> dict:
+              size_classes: tuple = (), vmem_classes: int = 0) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -187,7 +187,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
                                  instance_budget=instance_budget,
                                  dma_banks=dma_banks, presort=presort,
                                  tile_cull=tile_cull, streaming=streaming,
-                                 size_classes=size_classes)
+                                 size_classes=size_classes,
+                                 vmem_classes=vmem_classes)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -466,6 +467,9 @@ def main():
     ap.add_argument("--tpg", type=int, default=2)
     ap.add_argument("--large-k", type=int, default=8192)
     ap.add_argument("--tpg-large", type=int, default=32)
+    ap.add_argument("--vmem-classes", type=int, default=0,
+                    help="keep the first N size classes VMEM-resident in "
+                         "the blend kernel (no row DMA for classed ids)")
     ap.add_argument("--size-classes", default="",
                     help="multi-class cap ladder 'count:cap,count:cap,...' "
                          "by descending rect area (supersedes large_k/"
@@ -549,7 +553,7 @@ def main():
                 dma_banks=args.banks, face_plan=args.face_plan,
                 presort=args.presort, tile_cull=args.tile_cull,
                 streaming=args.streaming, stats_only=args.stats_only,
-                size_classes=size_classes,
+                size_classes=size_classes, vmem_classes=args.vmem_classes,
             )
             break
         except Exception:

@@ -90,6 +90,15 @@ class RasterizeSettings(NamedTuple):
     # nopresort instance ordering (like streaming).
     size_classes: tuple = ()
     instance_budget: int | None = None  # cap on sorted instances (None = P*TPG)
+    # Keep the first `vmem_classes` size classes RESIDENT IN VMEM during
+    # the forward blend: the big-rect splats account for most row fetches
+    # (top-4096 classes cover ~60% of instances on trained-avatar stats)
+    # and every fetch otherwise pays the ~53-61 ns single-row DMA
+    # descriptor floor. Classed instance ids are remapped to P+rank; the
+    # kernel serves them from a (L, 128) VMEM table with no DMA at all.
+    # Requires size_classes; the backward (RMW on the full gradient table)
+    # is unchanged and uses the original ids.
+    vmem_classes: int = 0
     # semaphore banks for the row-gather/RMW DMAs: spreading rows over
     # several semaphores lets Mosaic map them to distinct DMA queues
     # (parallel descriptor processing). chunk must be divisible by it.
@@ -416,6 +425,13 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
     """
     tpg = settings.max_tiles_per_gaussian
     large_k = min(settings.large_k, P)
+    if settings.vmem_classes:
+        if not settings.size_classes:
+            raise ValueError("vmem_classes requires size_classes")
+        if payload is None:
+            raise ValueError(
+                "vmem_classes needs a payload carrying the original "
+                "gaussian ids (rasterize passes jnp.arange(P))")
     depth_bits = jax.lax.bitcast_convert_type(depth, jnp.int32)
 
     tile = settings.tile
@@ -451,18 +467,30 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
 
         base_valid = valid
         parts = []
+        lids = []
         emitted = jnp.zeros((), need.dtype)
         start = 0
-        for count, cap in settings.size_classes:
+        for ci, (count, cap) in enumerate(settings.size_classes):
             count = min(int(count), P - start)
             if count <= 0:
                 break
             ids = ranked[start:start + count]
+            if ci < settings.vmem_classes:
+                # VMEM-resident class: instance ids remapped to P + rank so
+                # the blend kernel serves these rows from its (L, 128) VMEM
+                # table instead of paying the single-row DMA descriptor
+                # floor. Original ids must ride in `payload` for the
+                # backward's RMW gradient accumulation.
+                gid_dup = (P + start
+                           + jnp.arange(count, dtype=jnp.int32))
+                lids.append(ids)
+            else:
+                gid_dup = ids
             base_valid = base_valid.at[ids].set(False)
             sel = lambda a, ids=ids: a[ids]  # noqa: E731
             cp_c = tuple(sel(a) for a in cp) if cp is not None else None
             parts.append(duplicate(
-                sel(x0), sel(y0), sel(rw), sel(rh), sel(valid), ids,
+                sel(x0), sel(y0), sel(rw), sel(rh), sel(valid), gid_dup,
                 sel(depth_bits), int(cap), cp_c, tuple(sel(p) for p in pay),
             ))
             emitted = emitted + jnp.sum(jnp.where(
@@ -528,6 +556,11 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
             sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
             method="scan",
         ).astype(jnp.int32)
+        if settings.vmem_classes:
+            lids_out = jnp.concatenate(lids) if lids else jnp.zeros(
+                (0,), jnp.int32)
+            return ranges, order, tuple(spay), lids_out, num_valid, \
+                num_truncated
         return ranges, order, tuple(spay), num_valid, num_truncated
 
     sorted_tile, _, order = jax.lax.sort(
@@ -861,6 +894,188 @@ def _fwd_kernel(
 
     T = state_ref[0:1, :]
     out = acc_ref[:] + bg_ref[:] * T               # (CCH,1)*(1,PIX)
+    out_ref[:] = out.reshape(1, 1, _CCH, PIX)
+    t_ref[:] = T.reshape(1, 1, 1, PIX)
+
+
+def _row_gather_helpers_vmem(table_hbm, ltable, order_hbm, idx_sm, buf,
+                             sems, osems, start, chunk, pb):
+    """Row gather with a VMEM-resident class: ids < pb fetch their row from
+    HBM by DMA (one shared byte-counting semaphore per slot, per-row
+    conditional waits); ids >= pb copy row (id - pb) straight out of the
+    (L, 128) VMEM table — no descriptor, no queue, no HBM touch. The
+    single-row DMA descriptor floor is ~53-61 ns/row regardless of banks
+    (outputs/bench/tpu_window_r7/dma_bench.log); on trained-avatar stats
+    the VMEM classes absorb ~60% of all fetches."""
+    G = chunk
+    WR = _idx_rows(G)
+    L = ltable.shape[0]
+
+    def idx_dma(slot, c):
+        p = start + c * G
+        return pltpu.make_async_copy(
+            order_hbm.at[pl.ds(p // 128, WR)], idx_sm.at[slot],
+            osems.at[slot],
+        )
+
+    def _idx_at(slot, c, g):
+        q = jax.lax.rem(start + c * G, 128) + g
+        return idx_sm[slot, q // 128, jax.lax.rem(q, 128)]
+
+    def rows_start(slot, c):
+        for g in range(G):
+            idx = _idx_at(slot, c, g)
+
+            @pl.when(idx < pb)
+            def _():
+                pltpu.make_async_copy(
+                    table_hbm.at[pl.ds(idx, 1)], buf.at[slot, pl.ds(g, 1)],
+                    sems.at[slot],
+                ).start()
+
+    def rows_fill_wait(slot, c):
+        # all conditional waits drain the shared byte counter exactly by
+        # the issued rows; buf is only read after the loop completes, so
+        # out-of-order landings are safe. VMEM fills are plain copies into
+        # rows the DMAs never touch. NOTE: reads idx_sm[slot] — callers
+        # must not restart idx_dma(slot, .) before this runs.
+        for g in range(G):
+            idx = _idx_at(slot, c, g)
+
+            @pl.when(idx < pb)
+            def _():
+                pltpu.make_async_copy(
+                    table_hbm.at[pl.ds(0, 1)], buf.at[slot, pl.ds(0, 1)],
+                    sems.at[slot],
+                ).wait()
+
+            @pl.when(idx >= pb)
+            def _():
+                lrow = jnp.clip(idx - pb, 0, L - 1)
+                buf[slot, pl.ds(g, 1)] = ltable[pl.ds(lrow, 1)]
+
+    return idx_dma, rows_start, rows_fill_wait
+
+
+def _fwd_kernel_vmem(
+    ranges_ref,    # scalar prefetch (T+1,)
+    table_hbm,     # (P_pad, _PK) per-gaussian packed rows
+    order_hbm,     # (M, 128) i32 instance -> id (classed ids remapped >= pb)
+    ltable_ref,    # (L, _PK) VMEM-resident classed rows (rank order)
+    bg_ref,        # (CCH, 1)
+    out_ref,
+    t_ref,
+    buf,
+    sems,          # DMA (2,) shared byte counter per slot
+    idx_sm,
+    osems,
+    acc_ref,
+    state_ref,
+    flag_ref,
+    *,
+    tile: int,
+    chunk: int,
+    grid_x: int,
+    pb: int,
+):
+    """_fwd_kernel with the VMEM-resident classed table (same blend math,
+    ref semantics forward.cu:276-397)."""
+    G = chunk
+    PIX = tile * tile
+    t_idx = pl.program_id(0) * grid_x + pl.program_id(1)
+    start = ranges_ref[t_idx]
+    end = ranges_ref[t_idx + 1]
+    num = end - start
+    nchunks = pl.cdiv(num, G)
+    px, py = _pixel_coords(tile)
+
+    idx_dma, rows_start, rows_fill_wait = _row_gather_helpers_vmem(
+        table_hbm, ltable_ref, order_hbm, idx_sm, buf, sems, osems, start,
+        G, pb)
+
+    @pl.when(nchunks > 0)
+    def _():
+        idx_dma(0, 0).start()
+        idx_dma(0, 0).wait()
+        rows_start(0, 0)
+
+    @pl.when(nchunks > 1)
+    def _():
+        idx_dma(1, 1).start()
+
+    acc_ref[:] = jnp.zeros((_CCH, PIX), jnp.float32)
+    state_ref[:] = jnp.zeros((8, PIX), jnp.float32)
+    state_ref[0:1, :] = jnp.ones((1, PIX), jnp.float32)
+    flag_ref[0] = 0
+
+    def cond(c):
+        return (c < nchunks) & (flag_ref[0] == 0)
+
+    def body(c):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            idx_dma(1 - slot, c + 1).wait()
+            rows_start(1 - slot, c + 1)
+
+        # waits + VMEM fills read idx_sm[slot]: must complete BEFORE the
+        # c+2 index window may overwrite it (unlike _fwd_kernel, whose
+        # byte-counted bank waits don't consult the indices)
+        rows_fill_wait(slot, c)
+
+        @pl.when(c + 2 < nchunks)
+        def _():
+            idx_dma(slot, c + 2).start()
+
+        data = buf[slot]              # (G, _PK)
+        geom = data[:, :_GEOM]
+        colors = data[:, _GEOM:_GEOM + _CCH]      # (G, CCH)
+
+        T = state_ref[0:1, :]
+        alive = state_ref[1:2, :] < 0.5
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        mask2d = ((j + c * G) < num) & alive
+        at, _, _, _ = _chunk_alphas(geom, px, py, mask2d)
+
+        P_incl = T * _cumprod_sublanes(1.0 - at, G)   # (G, PIX)
+        live = P_incl >= T_MIN
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == 0
+        E = jnp.where(row0, T, pltpu.roll(P_incl, 1, axis=0))
+        w = jnp.where(live, at * E, 0.0)
+
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            colors, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        T_new = jnp.min(jnp.where(live, P_incl, jnp.inf), axis=0, keepdims=True)
+        T = jnp.minimum(T, T_new)
+        died = jnp.any((at > 0.0) & jnp.logical_not(live), axis=0, keepdims=True)
+        dead_f = jnp.maximum(state_ref[1:2, :], died.astype(jnp.float32))
+        state_ref[0:1, :] = T
+        state_ref[1:2, :] = dead_f
+        flag_ref[0] = (jnp.min(dead_f) > 0.5).astype(jnp.int32)
+        return c + 1
+
+    cf = jax.lax.while_loop(cond, body, 0)
+
+    # early-exit drain: body(cf-1) left rows for chunk cf in flight; its
+    # idx window in idx_sm[rem(cf,2)] is still intact (only the OTHER
+    # slot's window was restarted), so the conditional waits can re-read
+    # the predicates
+    @pl.when(cf < nchunks)
+    def _():
+        rows_fill_wait(jax.lax.rem(cf, 2), cf)
+
+    @pl.when(cf + 1 < nchunks)
+    def _():
+        idx_dma(jax.lax.rem(cf + 1, 2), cf + 1).wait()
+
+    T = state_ref[0:1, :]
+    out = acc_ref[:] + bg_ref[:] * T
     out_ref[:] = out.reshape(1, 1, _CCH, PIX)
     t_ref[:] = T.reshape(1, 1, 1, PIX)
 
@@ -1301,6 +1516,87 @@ def _blend_bwd(height, width, tile, chunk, banks, res, grads):
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 
 
+def _blend_fwd_call_vmem(table, ltable, order, ranges, bg, height, width,
+                         tile, chunk, pb):
+    gy = height // tile
+    gx = width // tile
+    PIX = tile * tile
+    if table.shape[0] < chunk:
+        table = jnp.pad(table, ((0, chunk - table.shape[0]), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            # constant index map: the pipeline loads the classed table into
+            # VMEM once and keeps it resident across grid steps
+            pl.BlockSpec((ltable.shape[0], _PK), lambda i, j, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CCH, 1), lambda i, j, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, _CCH, PIX), lambda i, j, r: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, PIX), lambda i, j, r: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, _PK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2, _idx_rows(chunk), 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_CCH, PIX), jnp.float32),
+            pltpu.VMEM((8, PIX), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel_vmem, tile=tile, chunk=chunk,
+                               grid_x=gx, pb=pb)
+    out, t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gy, gx, _CCH, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, 1, PIX), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(ranges, table, _order_2d(order, chunk), ltable, bg.reshape(_CCH, 1))
+    return out, t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def blend_tiles_vmem(table, ltable, order, order_orig, ranges, bg, height,
+                     width, tile, chunk, pb, banks=1):
+    """blend_tiles with the first vmem_classes size classes resident in
+    VMEM. `order` carries remapped ids (classed ids >= pb index `ltable`);
+    `order_orig` carries the original ids and drives the UNCHANGED backward
+    (RMW accumulation into the full per-gaussian gradient table). `ltable`
+    must equal table[lids] numerically (rasterize builds both from the same
+    projection columns) and is treated as non-differentiable — its
+    gradient contribution is exactly the rows the backward already
+    accumulates through `table`."""
+    return _blend_fwd_call_vmem(table, ltable, order, ranges, bg, height,
+                                width, tile, chunk, pb)
+
+
+def _blend_fwd_vmem(table, ltable, order, order_orig, ranges, bg, height,
+                    width, tile, chunk, pb, banks=1):
+    out, t = _blend_fwd_call_vmem(table, ltable, order, ranges, bg, height,
+                                  width, tile, chunk, pb)
+    return (out, t), (table, order_orig, ranges, bg, out, t)
+
+
+def _blend_bwd_vmem(height, width, tile, chunk, pb, banks, res, grads):
+    d_table, _, _, g_bg = _blend_bwd(height, width, tile, chunk, banks, res,
+                                     grads)
+    return d_table, None, None, None, None, g_bg
+
+
+blend_tiles_vmem.defvjp(_blend_fwd_vmem, _blend_bwd_vmem)
+
+
 def _stream_fwd_call(stream, ranges, bg, height, width, tile, chunk):
     gy = height // tile
     gx = width // tile
@@ -1445,7 +1741,17 @@ def rasterize(
     alpha_sg = jax.lax.stop_gradient(proj.alpha)
 
     spay = None
-    if settings.streaming:
+    lids = None
+    if settings.vmem_classes:
+        # classed ids remapped to P+rank; original ids ride the payload for
+        # the backward's RMW table accumulation
+        Pn = means3d.shape[0]
+        ranges, order, (order_orig,), lids, _, _ = bin_gaussians(
+            mean2d_sg, depth_sg, proj.radius_bin, contributing, W, H,
+            settings, conic=conic_sg, alpha=alpha_sg,
+            payload=(jnp.arange(Pn, dtype=jnp.int32),),
+        )
+    elif settings.streaming:
         # the packed per-gaussian payload rides THROUGH the instance sort
         # (geometry f32 exact; colors+invdepth bf16-packed in i32 pairs —
         # lossless vs the blend's bf16-input MXU matmul)
@@ -1495,7 +1801,34 @@ def rasterize(
     )
 
     bg_ext = jnp.concatenate([bg, jnp.zeros(_CCH - NUM_CHANNELS, bg.dtype)])
-    if settings.streaming:
+    if settings.vmem_classes:
+        order_orig = jnp.concatenate(
+            [order_orig, jnp.zeros((pad_rows,), order_orig.dtype)], axis=0
+        )
+        # the VMEM table = per_gauss[lids], built from the same columns so
+        # the values are bit-identical to the DMA path (no XLA row gather:
+        # each (L,) column gathers independently, then concat)
+        L = lids.shape[0]
+        if L * _PK * 4 > 8 * 1024 * 1024:
+            raise ValueError(
+                f"vmem_classes table {L} rows = {L * _PK * 4 / 1e6:.1f} MB "
+                "exceeds the 8 MB VMEM budget — fewer/smaller classes")
+        ltable = jax.lax.stop_gradient(jnp.concatenate(
+            [
+                proj.mean2d[lids],
+                proj.conic[lids],
+                proj.alpha[lids, None],
+                jnp.zeros((L, 2), jnp.float32),
+                colors[lids],
+                invd[lids, None],
+                jnp.zeros((L, _PK - _GEOM - NUM_CHANNELS - 1), jnp.float32),
+            ],
+            axis=-1,
+        ))
+        out4, _ = blend_tiles_vmem(per_gauss, ltable, order, order_orig,
+                                   ranges, bg_ext, H, W, tile,
+                                   settings.chunk, P, settings.dma_banks)
+    elif settings.streaming:
         M = spay[0].shape[0]
         g6 = jnp.stack(spay[:6], axis=1)                       # (M, 6)
         col34 = _unpack_colors_bf16(jnp.stack(spay[6:], axis=1))

@@ -133,24 +133,67 @@ def make_parallel_train_step(
     batch_spec=P("data"),
 ):
     """shard_map'd DP step: params replicated, batch sharded over 'data'."""
-    step = make_train_step(loss_fn, optimizer, axis_name="data")
-
     state_spec = P()  # replicated
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(state_spec, batch_spec),
-        out_specs=(state_spec, state_spec, state_spec),
-        check_vma=False,
-    )
-    def pstep(state, batch):
-        return step(state, batch)
+    # The loss closure carries the EHM/UV tables (shapedirs alone is
+    # ~44 MB); closed-over device arrays lower as DENSE MLIR CONSTANTS, so
+    # the serialized train-step module hits ~52 MB and the remote TPU
+    # compile service rejects it (HTTP 500, compile_train_512_b3.log).
+    # closure_convert hoists every jaxpr constant into explicit arguments
+    # once at first call (shapes are fixed for the whole run), and the
+    # hoisted consts ride as replicated shard_map inputs.
+    cache: dict = {}
 
-    # donate the incoming TrainState: at 512^2 the step's temporaries are
-    # ~9.4 GiB and holding two full param+optimizer copies alongside them
-    # exhausts the 16 GiB chip (measured: second step OOM in
-    # outputs/bench/tpu_window_20260817_011351/compile_train_512.log).
-    # The driver loop rebinds `state = pstep(state, ...)`, so the donated
-    # buffers are never reused. CPU ignores donation (tests unaffected).
-    return jax.jit(pstep, donate_argnums=(0,))
+    def _ensure(state, batch):
+        if "fn" in cache:
+            return
+        # hoist from the LOSS (collective-free): tracing the full step
+        # here would hit the pmean's unbound 'data' axis
+        local = jax.tree_util.tree_map(
+            lambda x: x[: max(1, x.shape[0] // mesh.devices.size)]
+            if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
+            batch,
+        )
+        # trace on sharding-free abstract args: concrete examples carry
+        # their (Auto-mesh) shardings into the captured jaxpr's avals,
+        # which then clash with the Manual-mesh tracers inside shard_map
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            (state.params, local, state.iteration),
+        )
+        closed, consts = jax.closure_convert(loss_fn, *abstract)
+        n = len(consts)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(state_spec, batch_spec) + (P(),) * n,
+            out_specs=(state_spec, state_spec, state_spec),
+            check_vma=False,
+        )
+        def sm(state, batch, *consts):
+            lf = lambda p, b, i: closed(p, b, i, *consts)  # noqa: E731
+            return make_train_step(lf, optimizer, axis_name="data")(
+                state, batch)
+
+        # donate the incoming TrainState: at 512^2 the step's temporaries
+        # are ~9.4 GiB and holding two full param+optimizer copies
+        # alongside them exhausts the 16 GiB chip (measured: second step
+        # OOM, tpu_window_20260817_011351). The driver loop rebinds
+        # `state = pstep(state, ...)`, so the donated buffers are never
+        # reused. CPU ignores donation (tests unaffected).
+        cache["fn"] = jax.jit(sm, donate_argnums=(0,))
+        cache["consts"] = consts
+
+    def pstep(state, batch):
+        _ensure(state, batch)
+        return cache["fn"](state, batch, *cache["consts"])
+
+    def lower(state, batch):
+        """AOT hook (tools/compile_train_512.py): lower the cached jit
+        without executing anything."""
+        _ensure(state, batch)
+        return cache["fn"].lower(state, batch, *cache["consts"])
+
+    pstep.lower = lower
+    return pstep

@@ -245,3 +245,32 @@ def test_multiclass_gradients_flow(stress_scene):
     for g, name in zip(grads, ("means", "colors", "opac", "scales", "quats")):
         assert bool(jnp.all(jnp.isfinite(g))), name
         assert float(jnp.abs(g).max()) > 0, name
+
+
+def test_vmem_classes_matches_dma_path(stress_scene):
+    """VMEM-resident classed table: forward must be BIT-identical to the
+    all-DMA multiclass path (ltable rows are the same f32 values), and
+    gradients must match exactly (the backward is the identical RMW kernel
+    driven by the original ids)."""
+    args, cam, bg, ref = stress_scene
+    base = RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=2,
+                             size_classes=((16, 64), (48, 24), (96, 8)))
+    vm = base._replace(vmem_classes=2)
+
+    out_d, rad_d, invd_d = jax.jit(lambda *a: rasterize(*a, cam, bg, base))(*args)
+    out_v, rad_v, invd_v = jax.jit(lambda *a: rasterize(*a, cam, bg, vm))(*args)
+    np.testing.assert_array_equal(np.asarray(out_v), np.asarray(out_d))
+    np.testing.assert_array_equal(np.asarray(invd_v), np.asarray(invd_d))
+    np.testing.assert_array_equal(np.asarray(rad_v), np.asarray(rad_d))
+    assert _psnr(np.asarray(out_v), ref) > 60.0
+
+    def loss(st):
+        def f(m, c, o, s, q):
+            col, _, invd = rasterize(m, c, o, s, q, cam, bg, st)
+            return jnp.sum(col ** 2) + jnp.sum(invd)
+        return jax.jit(jax.grad(f, argnums=(0, 1, 2, 3, 4)))(*args)
+
+    for gd, gv, name in zip(loss(base), loss(vm),
+                            ("means", "colors", "opac", "scales", "quats")):
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gd),
+                                   rtol=1e-6, atol=1e-7, err_msg=name)

@@ -109,7 +109,14 @@ def main():
     tc = time.time()
     try:
         lowered = pstep.lower(state, batch)
-        print(f"[{time.time()-t0:7.1f}s] lowered (trace {time.time()-tc:.1f}s)")
+        txt = lowered.as_text()
+        import re as _re
+        dense = sorted((len(m) for m in _re.findall(
+            r"dense<[^>]*>", txt)), reverse=True)[:5]
+        print(f"[{time.time()-t0:7.1f}s] lowered (trace {time.time()-tc:.1f}s, "
+              f"mlir {len(txt)/1e6:.1f} MB, top dense consts "
+              f"{[d // 1000 for d in dense]} kB)")
+        del txt
         tc = time.time()
         compiled = lowered.compile()
         print(f"[{time.time()-t0:7.1f}s] COMPILE OK ({time.time()-tc:.1f}s) "
