@@ -161,8 +161,29 @@ def make_parallel_train_step(
             lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
             (state.params, local, state.iteration),
         )
-        closed, consts = jax.closure_convert(loss_fn, *abstract)
+        # manual const lift (jax.closure_convert hoists only TRACER
+        # consts — concrete closed-over arrays stay embedded, measured
+        # 0 hoisted): trace the loss to a jaxpr, pull out its constvars,
+        # and replay it with them as runtime arguments
+        flat_abs, in_tree = jax.tree_util.tree_flatten(abstract)
+        out_tree_box = []
+
+        def flat_loss(*flat):
+            p, b, i = jax.tree_util.tree_unflatten(in_tree, flat)
+            out = loss_fn(p, b, i)
+            flat_out, out_tree = jax.tree_util.tree_flatten(out)
+            if not out_tree_box:
+                out_tree_box.append(out_tree)
+            return flat_out
+
+        cj = jax.make_jaxpr(flat_loss)(*flat_abs)
+        consts = [jnp.asarray(c) for c in cj.consts]
         n = len(consts)
+
+        def closed(p, b, i, *cs):
+            flat = jax.tree_util.tree_flatten((p, b, i))[0]
+            outs = jax.core.eval_jaxpr(cj.jaxpr, cs, *flat)
+            return jax.tree_util.tree_unflatten(out_tree_box[0], outs)
 
         @functools.partial(
             jax.shard_map,

@@ -111,11 +111,13 @@ def main():
         lowered = pstep.lower(state, batch)
         txt = lowered.as_text()
         import re as _re
-        dense = sorted((len(m) for m in _re.findall(
-            r"dense<[^>]*>", txt)), reverse=True)[:5]
+        dense = sorted(
+            ((len(m.group(0)), m.group(1)) for m in _re.finditer(
+                r"dense<[^>]*> : (tensor<[^>]*>)", txt)),
+            reverse=True)[:5]
         print(f"[{time.time()-t0:7.1f}s] lowered (trace {time.time()-tc:.1f}s, "
               f"mlir {len(txt)/1e6:.1f} MB, top dense consts "
-              f"{[d // 1000 for d in dense]} kB)")
+              f"{[(d // 1000, t) for d, t in dense]} kB)")
         del txt
         tc = time.time()
         compiled = lowered.compile()
