@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--skip-probe", action="store_true",
                     help="caller already probed the tunnel")
+    ap.add_argument("--vmem", action="store_true",
+                    help="gate the VMEM-resident classed-table path "
+                         "(size_classes ladder + vmem_classes)")
     ap.add_argument("--streaming", action="store_true",
                     help="gate the streaming blend path (payload sort + "
                          "contiguous block DMAs; colors bf16 through the "
@@ -66,6 +69,10 @@ def main():
     settings = RasterizeSettings(tile=args.tile, chunk=args.chunk,
                                  max_tiles_per_gaussian=8,
                                  streaming=args.streaming)
+    if args.vmem:
+        settings = settings._replace(
+            max_tiles_per_gaussian=2,
+            size_classes=((16, 64), (48, 24), (96, 8)), vmem_classes=2)
     color, radii, invd = jax.jit(
         lambda *a: rasterize(*a, cam, jnp.asarray(s["bg"]), settings)
     )(*inputs)
