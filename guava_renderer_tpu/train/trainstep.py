@@ -104,26 +104,80 @@ def make_train_step(
     return step
 
 
+def _lift_consts(fn, *example_args):
+    """Trace fn on sharding-free abstract args and return (closed, consts)
+    where `closed(*args, *consts)` replays the jaxpr with its constvars
+    supplied at runtime. jax.closure_convert hoists only TRACER consts —
+    concrete closed-over arrays (the EHM/UV tables, ~50 MB) stay embedded
+    as dense MLIR constants and the remote TPU compile service rejects the
+    module (HTTP 500); this lifts them into ordinary arguments."""
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        example_args,
+    )
+    flat_abs, in_tree = jax.tree_util.tree_flatten(abstract)
+    out_tree_box = []
+
+    def flat_fn(*flat):
+        args = jax.tree_util.tree_unflatten(in_tree, flat)
+        out = fn(*args)
+        flat_out, out_tree = jax.tree_util.tree_flatten(out)
+        if not out_tree_box:
+            out_tree_box.append(out_tree)
+        return flat_out
+
+    cj = jax.make_jaxpr(flat_fn)(*flat_abs)
+    consts = [jnp.asarray(c) for c in cj.consts]
+
+    n_pos = len(example_args)
+
+    def closed(*all_args):
+        args, cs = all_args[:n_pos], all_args[n_pos:]
+        flat = jax.tree_util.tree_flatten(args)[0]
+        outs = jax.core.eval_jaxpr(cj.jaxpr, list(cs), *flat)
+        return jax.tree_util.tree_unflatten(out_tree_box[0], outs)
+
+    return closed, consts
+
+
 def make_parallel_eval_step(forward_metrics_fn, mesh: Mesh, batch_spec=P("data")):
     """shard_map'd eval: batch sharded over 'data', metrics pmean'd mesh-wide.
 
     The explicit-collective equivalent of the reference's
     `fabric.all_reduce(metric, reduce_op="mean")` (ref: main/trainer.py:175-181).
     forward_metrics_fn(params, batch) -> dict of scalar metrics."""
+    cache: dict = {}
 
-    def estep(params, batch):
-        metrics = forward_metrics_fn(params, batch)
-        return jax.lax.pmean(metrics, "data")
+    def _ensure(params, batch):
+        if "fn" in cache:
+            return
+        local = jax.tree_util.tree_map(
+            lambda x: x[: max(1, x.shape[0] // mesh.devices.size)]
+            if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
+            batch,
+        )
+        closed, consts = _lift_consts(forward_metrics_fn, params, local)
+        n = len(consts)
 
-    return jax.jit(
-        jax.shard_map(
-            estep,
+        @functools.partial(
+            jax.shard_map,
             mesh=mesh,
-            in_specs=(P(), batch_spec),
+            in_specs=(P(), batch_spec) + (P(),) * n,
             out_specs=P(),
             check_vma=False,
         )
-    )
+        def estep(params, batch, *consts):
+            metrics = closed(params, batch, *consts)
+            return jax.lax.pmean(metrics, "data")
+
+        cache["fn"] = jax.jit(estep)
+        cache["consts"] = consts
+
+    def peval(params, batch):
+        _ensure(params, batch)
+        return cache["fn"](params, batch, *cache["consts"])
+
+    return peval
 
 
 def make_parallel_train_step(
@@ -154,36 +208,11 @@ def make_parallel_train_step(
             if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
             batch,
         )
-        # trace on sharding-free abstract args: concrete examples carry
-        # their (Auto-mesh) shardings into the captured jaxpr's avals,
-        # which then clash with the Manual-mesh tracers inside shard_map
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-            (state.params, local, state.iteration),
-        )
-        # manual const lift (jax.closure_convert hoists only TRACER
-        # consts — concrete closed-over arrays stay embedded, measured
-        # 0 hoisted): trace the loss to a jaxpr, pull out its constvars,
-        # and replay it with them as runtime arguments
-        flat_abs, in_tree = jax.tree_util.tree_flatten(abstract)
-        out_tree_box = []
-
-        def flat_loss(*flat):
-            p, b, i = jax.tree_util.tree_unflatten(in_tree, flat)
-            out = loss_fn(p, b, i)
-            flat_out, out_tree = jax.tree_util.tree_flatten(out)
-            if not out_tree_box:
-                out_tree_box.append(out_tree)
-            return flat_out
-
-        cj = jax.make_jaxpr(flat_loss)(*flat_abs)
-        consts = [jnp.asarray(c) for c in cj.consts]
+        # manual const lift — see _lift_consts (closure_convert hoists
+        # only tracer consts; the EHM/UV tables would stay embedded)
+        closed, consts = _lift_consts(
+            loss_fn, state.params, local, state.iteration)
         n = len(consts)
-
-        def closed(p, b, i, *cs):
-            flat = jax.tree_util.tree_flatten((p, b, i))[0]
-            outs = jax.core.eval_jaxpr(cj.jaxpr, cs, *flat)
-            return jax.tree_util.tree_unflatten(out_tree_box[0], outs)
 
         @functools.partial(
             jax.shard_map,
