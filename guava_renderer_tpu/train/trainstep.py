@@ -246,4 +246,7 @@ def make_parallel_train_step(
         return cache["fn"].lower(state, batch, *cache["consts"])
 
     pstep.lower = lower
+    # AOT callers (compile_train_512) need the lifted consts to invoke the
+    # compiled executable directly: compiled(state, batch, *pstep.consts())
+    pstep.consts = lambda: cache["consts"]
     return pstep

@@ -137,7 +137,8 @@ def main():
 
     if args.execute:
         te = time.time()
-        state2, loss, metrics = compiled(state, batch)
+        consts = getattr(pstep, 'consts', lambda: ())()
+        state2, loss, metrics = compiled(state, batch, *consts)
         del state  # donated; also frees the pre-step copy on chip
         loss = float(loss)
         print(f"[{time.time()-t0:7.1f}s] STEP OK loss={loss:.4f} "
@@ -145,10 +146,10 @@ def main():
         print("  metrics: " + " ".join(
             f"{k}={float(v):.4g}" for k, v in sorted(metrics.items())))
         te = time.time()
-        state3, loss2, _ = compiled(state2, batch)
+        state3, loss2, _ = compiled(state2, batch, *consts)
         print(f"  second step: loss={float(loss2):.4g} ({time.time()-te:.1f}s)")
         te = time.time()
-        _, loss3, _ = compiled(state3, batch)
+        _, loss3, _ = compiled(state3, batch, *consts)
         print(f"  third step:  loss={float(loss3):.4g} ({time.time()-te:.1f}s)")
         assert jnp.isfinite(loss)
 
