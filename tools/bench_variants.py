@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import BASELINE_FPS, run_bench  # noqa: E402
 
 PARITY = dict(tile=32, chunk=32, tpg=2, bf16=True, face_plan=True)
+LADDER = ((256, 256), (3840, 64), (28672, 16), (32768, 4))
 VARIANTS = [
     # (label, kwargs) — tile 32, tpg 2 + large(8192x32), bf16 refiner,
     # face-plan deformer is the r7/r8 measured-best parity block; this
@@ -40,6 +41,15 @@ VARIANTS = [
     ("parity-stream", dict(PARITY, streaming=True)),
     ("parity-stream-chunk64", dict(PARITY, streaming=True, chunk=64)),
     ("parity-stream-chunk128", dict(PARITY, streaming=True, chunk=128)),
+    # exact zero-truncation cap ladder (instances 391k -> 462k) with the
+    # VMEM-resident classed table absorbing the big-splat row fetches
+    ("vmem2-ladder", dict(PARITY, tpg=2, size_classes=LADDER, vmem_classes=2)),
+    ("vmem2-chunk64", dict(PARITY, tpg=2, size_classes=LADDER,
+                           vmem_classes=2, chunk=64)),
+    ("vmem0-ladder", dict(PARITY, tpg=2, size_classes=LADDER)),
+    # vmem on the legacy-shaped 2-class config expressed as a ladder
+    ("vmem1-8k32", dict(PARITY, tpg=2, size_classes=((8192, 32),),
+                        vmem_classes=1)),
 ]
 QUICK = [0, 1, 2, 3]
 
@@ -90,6 +100,8 @@ def main():
                 presort=kw.get("presort", True),
                 tile_cull=kw.get("tile_cull", True),
                 streaming=kw.get("streaming", False),
+                size_classes=kw.get("size_classes", ()),
+                vmem_classes=kw.get("vmem_classes", 0),
             )
             fps, P = stats["fps"], stats["P"]
         except Exception:
