@@ -140,6 +140,64 @@ def _lift_consts(fn, *example_args):
     return closed, consts
 
 
+def make_sample_scan_step(
+    loss_fn: Callable[[Any, Any, jnp.ndarray], tuple[jnp.ndarray, dict]],
+    optimizer: optax.GradientTransformation,
+    axis_name: str | None = None,
+):
+    """make_train_step with per-SAMPLE gradient accumulation via lax.scan.
+
+    The local batch is processed one sample at a time (each re-expanded to
+    batch dim 1), gradients/metrics averaged in the scan carry. Every loss
+    term is a per-sample mean, so the result equals the batched step up to
+    fp summation order. Two wins on the 16 GiB chip at 512^2: (a) peak
+    temps are one sample's (~3 GiB) instead of B's, and (b) the compiled
+    program is the KNOWN-GOOD batch-1 program plus a scan — the XLA TPU
+    compiler crashes outright on any batch>=2 512^2 step (HTTP 500 across
+    remat/no-remat/unrolled/lax.map renderers, compile_train_512_b*.log)
+    while batch-1 compiles, scanned renderer included."""
+
+    def step(state: TrainState, batch):
+        B = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def one(carry, sample):
+            gsum, lsum, msum = carry
+            sample1 = jax.tree_util.tree_map(lambda x: x[None], sample)
+            (loss, metrics), grads = vg(
+                state.params, sample1, state.iteration)
+            carry = (
+                jax.tree_util.tree_map(jnp.add, gsum, grads),
+                lsum + loss,
+                jax.tree_util.tree_map(jnp.add, msum, metrics),
+            )
+            return carry, None
+
+        shapes = jax.eval_shape(
+            vg, state.params,
+            jax.tree_util.tree_map(lambda x: x[:1], batch),
+            state.iteration)
+        (l0, m0), g0 = shapes
+        zeros = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda s: jnp.zeros(s.shape, s.dtype), t)
+        init = (zeros(g0), jnp.zeros(l0.shape, l0.dtype), zeros(m0))
+        (gsum, lsum, msum), _ = jax.lax.scan(one, init, batch)
+        grads = jax.tree_util.tree_map(lambda g: g / B, gsum)
+        loss = lsum / B
+        metrics = jax.tree_util.tree_map(lambda m: m / B, msum)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.iteration + 1)
+        return new_state, loss, metrics
+
+    return step
+
+
 def make_parallel_eval_step(forward_metrics_fn, mesh: Mesh, batch_spec=P("data")):
     """shard_map'd eval: batch sharded over 'data', metrics pmean'd mesh-wide.
 
@@ -185,6 +243,7 @@ def make_parallel_train_step(
     optimizer,
     mesh: Mesh,
     batch_spec=P("data"),
+    sample_scan: bool = False,
 ):
     """shard_map'd DP step: params replicated, batch sharded over 'data'."""
     state_spec = P()  # replicated
@@ -203,8 +262,12 @@ def make_parallel_train_step(
             return
         # hoist from the LOSS (collective-free): tracing the full step
         # here would hit the pmean's unbound 'data' axis
+        # the lifted jaxpr is shape-specialized: per-device batch for the
+        # batched step, batch 1 for the sample-scan step (which re-expands
+        # each scanned sample to a leading dim of 1)
+        nb = 1 if sample_scan else None
         local = jax.tree_util.tree_map(
-            lambda x: x[: max(1, x.shape[0] // mesh.devices.size)]
+            lambda x: x[: nb or max(1, x.shape[0] // mesh.devices.size)]
             if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
             batch,
         )
@@ -223,8 +286,9 @@ def make_parallel_train_step(
         )
         def sm(state, batch, *consts):
             lf = lambda p, b, i: closed(p, b, i, *consts)  # noqa: E731
-            return make_train_step(lf, optimizer, axis_name="data")(
-                state, batch)
+            mk = (make_sample_scan_step if sample_scan
+                  else make_train_step)
+            return mk(lf, optimizer, axis_name="data")(state, batch)
 
         # donate the incoming TrainState: at 512^2 the step's temporaries
         # are ~9.4 GiB and holding two full param+optimizer copies

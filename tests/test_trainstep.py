@@ -9,6 +9,7 @@ from guava_renderer_tpu.train.trainstep import (
     TrainState,
     make_optimizer,
     make_parallel_train_step,
+    make_sample_scan_step,
     make_train_step,
 )
 
@@ -180,3 +181,54 @@ def test_parallel_eval_step_mesh_wide_mean():
         per_item_mx.append(float(m["mean_x"]))
     np.testing.assert_allclose(float(out["mse"]), np.mean(per_item_mse), rtol=1e-5)
     np.testing.assert_allclose(float(out["mean_x"]), np.mean(per_item_mx), rtol=1e-5)
+
+
+def test_sample_scan_step_matches_batched():
+    """Per-sample grad accumulation (the only batch>1 shape the TPU
+    compiler accepts at 512^2) must equal the batched step: every loss
+    term is a per-sample mean, so accumulation differs only in fp order."""
+    params = toy_params()
+    opt = make_optimizer(params, learning_rate=1e-2)
+    batch = make_batch(4)
+
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    s_b, loss_b, m_b = make_train_step(toy_loss, opt)(state, batch)
+
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    s_s, loss_s, m_s = make_sample_scan_step(toy_loss, opt)(state, batch)
+
+    np.testing.assert_allclose(float(loss_b), float(loss_s), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_b.params),
+                    jax.tree_util.tree_leaves(s_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_parallel_sample_scan_full_pipeline():
+    """shard_map'd sample-scan step on the real micro pipeline (B=2/device)
+    matches the batched parallel step."""
+    from guava_renderer_tpu.testing import make_micro_pipeline
+    from guava_renderer_tpu.train.pipeline import make_loss_fn
+
+    tp = make_micro_pipeline(batch_size=4)  # 2 devices x 2 samples
+    loss_fn = make_loss_fn(tp.statics, tp.lpips_params)
+    mesh = data_parallel_mesh(2)
+    opt = make_optimizer(tp.params)
+    batch = shard_batch(tp.batch, mesh)
+
+    # fresh param copies per call: the parallel step DONATES the TrainState
+    fresh = lambda: jax.tree_util.tree_map(jnp.copy, tp.params)  # noqa: E731
+
+    params = fresh()
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    pstep = make_parallel_train_step(loss_fn, opt, mesh)
+    s_b, loss_b, _ = pstep(state, batch)
+
+    params = fresh()
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    pscan = make_parallel_train_step(loss_fn, opt, mesh, sample_scan=True)
+    s_s, loss_s, _ = pscan(state, batch)
+
+    np.testing.assert_allclose(float(loss_b), float(loss_s), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_b.params),
+                    jax.tree_util.tree_leaves(s_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -34,6 +34,10 @@ def main():
                          " compiles the same kernels at any batch)")
     ap.add_argument("--execute", action="store_true",
                     help="also run one real step after compiling")
+    ap.add_argument("--sample-scan", action="store_true",
+                    help="per-sample gradient accumulation (lax.scan): the "
+                         "XLA TPU compiler crashes on any batch>=2 512^2 "
+                         "step; this keeps the program batch-1-shaped")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialized forward (memory-vs-compute lever)")
     ap.add_argument("--dataset-dir", default="/tmp/guava_full_ds")
@@ -92,7 +96,8 @@ def main():
         lr_decay_iter=int(cfg.OPTIMIZE.lr_decay_iter),
     )
     mesh = data_parallel_mesh(1)
-    pstep = make_parallel_train_step(loss_fn, optimizer, mesh)
+    pstep = make_parallel_train_step(loss_fn, optimizer, mesh,
+                                     sample_scan=args.sample_scan)
 
     ds = build_dataset(cfg, "train")
     loader = PrefetchLoader(ds, args.batch_size, shuffle=False)
