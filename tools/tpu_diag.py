@@ -44,7 +44,8 @@ STAGES = [
 ]
 # measured r3a: XLA's (2.18M,128) gather = 35.3 s steady — replaced by the
 # in-kernel row gather; "gather" stage kept out of the default list
-EXTRA_STAGES = ["gather", "refiner2", "refiner3", "bin2", "raster2", "quality512"]
+EXTRA_STAGES = ["gather", "refiner2", "refiner3", "bin2", "raster2",
+                "quality512", "frame_parts"]
 
 
 # --------------------------------------------------------------------------
@@ -957,6 +958,79 @@ def stage_full(sc, frames=3):
 
     out = _timeit(f"{frames}-frame FULL loop", run, 0.0, reps=2)
     print(f"[full] r={float(out):.4f}", flush=True)
+
+
+def stage_frame_parts(sc, frames=3):
+    """Cumulative frame slices, each its own jitted fori_loop: deform ->
+    +project+bin -> +full raster -> +refiner(bf16). Successive deltas give
+    each stage's cost INSIDE a fused frame program (the composition the
+    bench actually runs), instead of isolated-stage numbers that miss or
+    double-count XLA fusion across stage boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.avatar.renderer import NeuralRefiner
+    from guava_renderer_tpu.ops.gsplat import bin_gaussians, rasterize
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    size, st = sc["size"], sc["settings"]
+    refiner = NeuralRefiner(image_size=size, small=True)
+    ref_params = refiner.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 32)))
+    ref_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        ref_params)
+
+    def deformed(pose_scale):
+        body = sc["base_body"]._replace(
+            body_pose=sc["base_body"].body_pose + pose_scale * 0.01)
+        res = sc["ehm_forward"](sc["ehm"], body, sc["base_flame"])
+        return sc["deform"](sc["avatar"], res.vertices,
+                            res.vertex_transforms, sc["faces"])
+
+    def part_deform(pose_scale):
+        gs = deformed(pose_scale)
+        return jnp.sum(gs.xyz) + jnp.sum(gs.rotation) + jnp.sum(gs.scaling)
+
+    def part_bin(pose_scale):
+        gs = deformed(pose_scale)
+        proj = project_gaussians(gs.xyz[0], gs.scaling[0], gs.rotation[0],
+                                 gs.opacity[0], sc["cam"])
+        contributing = proj.valid & (proj.alpha >= 1.0 / 255.0)
+        out = bin_gaussians(proj.mean2d, proj.depth, proj.radius_bin,
+                            contributing, size, size, st,
+                            conic=proj.conic, alpha=proj.alpha)
+        ranges, order = out[0], out[1]
+        return (jnp.sum(ranges.astype(jnp.float32)) * 1e-6
+                + jnp.sum(order.astype(jnp.float32)) * 1e-9)
+
+    def part_raster(pose_scale):
+        gs = deformed(pose_scale)
+        color, _, _ = rasterize(gs.xyz[0], gs.colors[0], gs.opacity[0],
+                                gs.scaling[0], gs.rotation[0],
+                                sc["cam"], jnp.zeros(32), st,
+                                channels_first=False)
+        return jnp.sum(color)
+
+    def part_full(pose_scale):
+        gs = deformed(pose_scale)
+        color, _, _ = rasterize(gs.xyz[0], gs.colors[0], gs.opacity[0],
+                                gs.scaling[0], gs.rotation[0],
+                                sc["cam"], jnp.zeros(32), st,
+                                channels_first=False)
+        rgb = refiner.apply(ref_params, color[None].astype(jnp.bfloat16))
+        return jnp.sum(rgb.astype(jnp.float32))
+
+    for label, part in [("deform", part_deform), ("+bin", part_bin),
+                        ("+raster", part_raster), ("+refiner", part_full)]:
+        def run(x, _part=part):
+            return jax.lax.fori_loop(
+                0, frames, lambda i, acc: acc + _part(acc * 1e-12 + i), x)
+        _timeit(f"frame_parts.{label} ({frames}-frame loop)",
+                jax.jit(run), 0.0, reps=2, iters=4)
+    print("[frame_parts] done (per-frame cost of a slice = steady/"
+          f"{frames}; stage cost = delta between successive slices)",
+          flush=True)
 
 
 def run_stage(name, out_dir, platform):
