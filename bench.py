@@ -325,10 +325,21 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
     contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
     # mirror rasterize() exactly (radius_bin + tile cull) so the instance
     # stats describe what the frame actually gathers/blends
-    ranges, _, num_valid, num_trunc = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius_bin, contributing, size, size,
-        settings, conic=proj.conic, alpha=proj.alpha,
-    )
+    if settings.vmem_classes:
+        # classed binning carries the original ids as payload (rasterize
+        # does the same; see ops/gsplat.py rasterize vmem_classes branch)
+        Pn = proj.mean2d.shape[0]
+        out = bin_gaussians(
+            proj.mean2d, proj.depth, proj.radius_bin, contributing, size,
+            size, settings, conic=proj.conic, alpha=proj.alpha,
+            payload=(jnp.arange(Pn, dtype=jnp.int32),),
+        )
+        ranges, num_valid, num_trunc = out[0], out[-2], out[-1]
+    else:
+        ranges, _, num_valid, num_trunc = bin_gaussians(
+            proj.mean2d, proj.depth, proj.radius_bin, contributing, size,
+            size, settings, conic=proj.conic, alpha=proj.alpha,
+        )
     lens = np.diff(np.asarray(ranges))
     padded = ((lens + chunk - 1) // chunk) * chunk
     inst_padded = int(padded.sum())
