@@ -198,6 +198,120 @@ def make_sample_scan_step(
     return step
 
 
+def make_accum_train_step(
+    loss_fn: Callable[[Any, Any, jnp.ndarray], tuple[jnp.ndarray, dict]],
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    batch_spec=P("data"),
+):
+    """Gradient accumulation with a HOST-level microbatch loop.
+
+    The remote TPU compile service crashes (HTTP 500, tpu_compile_helper
+    exit 1) on EVERY 512^2 train-step program whose data arrays carry a
+    leading batch dim >= 2 — batched, remat'd, lax.map'd renderer, and
+    even the lax.scan sample-scan variant (where all *compute* is
+    batch-1-shaped) all fail, while the plain batch-1 step compiles and
+    runs (outputs/bench/tpu_window_20260818_232000/, .._023954/). The
+    robust decomposition keeps every *compiled program* batch-1 per
+    device and moves the microbatch loop to the host:
+
+      grad:  shard_map'd value_and_grad at local batch 1, grads/loss/
+             metrics pmean'd over 'data' (one optical microbatch =
+             n_devices samples)
+      acc:   jitted tree-add into running sums (sums donated)
+      apply: jitted optimizer update from the averaged sums (state and
+             sums donated)
+
+    step(state, microbatches) consumes a LIST of already-sharded
+    microbatches; the effective batch is len(microbatches) * n_devices.
+    Equals the batched step up to fp summation order. Peak HBM = one
+    microbatch's temps + params + opt state + two grads copies.
+    """
+    state_spec = P()
+    cache: dict = {}
+
+    def _ensure(state, mb):
+        if "grad" in cache:
+            return
+        local = jax.tree_util.tree_map(
+            lambda x: x[:1]
+            if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
+            mb,
+        )
+        closed, consts = _lift_consts(
+            loss_fn, state.params, local, state.iteration)
+        n = len(consts)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(state_spec, batch_spec, state_spec) + (P(),) * n,
+            out_specs=(state_spec, state_spec, state_spec),
+            check_vma=False,
+        )
+        def g(params, batch, iteration, *cs):
+            lf = lambda p, b, i: closed(p, b, i, *cs)  # noqa: E731
+            (loss, metrics), grads = jax.value_and_grad(
+                lf, has_aux=True)(params, batch, iteration)
+            return (
+                jax.lax.pmean(loss, "data"),
+                jax.lax.pmean(metrics, "data"),
+                jax.lax.pmean(grads, "data"),
+            )
+
+        cache["grad"] = jax.jit(g)
+        cache["consts"] = consts
+
+        def acc(sums, loss, metrics, grads):
+            lsum, msum, gsum, cnt = sums
+            return (
+                lsum + loss,
+                jax.tree_util.tree_map(jnp.add, msum, metrics),
+                jax.tree_util.tree_map(jnp.add, gsum, grads),
+                cnt + 1,
+            )
+
+        cache["acc"] = jax.jit(acc, donate_argnums=(0,))
+
+        def apply(state, sums):
+            lsum, msum, gsum, cnt = sums
+            cnt = cnt.astype(jnp.float32)
+            grads = jax.tree_util.tree_map(lambda x: x / cnt, gsum)
+            loss = lsum / cnt
+            metrics = jax.tree_util.tree_map(lambda m: m / cnt, msum)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.iteration + 1), \
+                loss, metrics
+
+        cache["apply"] = jax.jit(apply, donate_argnums=(0, 1))
+
+    def step(state, microbatches):
+        assert len(microbatches) >= 1
+        _ensure(state, microbatches[0])
+        consts = cache["consts"]
+        loss, metrics, grads = cache["grad"](
+            state.params, microbatches[0], state.iteration, *consts)
+        sums = (loss, metrics, grads, jnp.asarray(1, jnp.int32))
+        for mb in microbatches[1:]:
+            loss, metrics, grads = cache["grad"](
+                state.params, mb, state.iteration, *consts)
+            sums = cache["acc"](sums, loss, metrics, grads)
+        return cache["apply"](state, sums)
+
+    def lower_grad(state, mb):
+        """AOT hook: lower the batch-1 grad program (the only compile the
+        TPU service must survive; acc/apply are trivial)."""
+        _ensure(state, mb)
+        return cache["grad"].lower(
+            state.params, mb, state.iteration, *cache["consts"])
+
+    step.lower_grad = lower_grad
+    step.consts = lambda: cache["consts"]
+    return step
+
+
 def make_parallel_eval_step(forward_metrics_fn, mesh: Mesh, batch_spec=P("data")):
     """shard_map'd eval: batch sharded over 'data', metrics pmean'd mesh-wide.
 

@@ -7,6 +7,7 @@ import numpy as np
 from guava_renderer_tpu.parallel.mesh import data_parallel_mesh, shard_batch
 from guava_renderer_tpu.train.trainstep import (
     TrainState,
+    make_accum_train_step,
     make_optimizer,
     make_parallel_train_step,
     make_sample_scan_step,
@@ -203,6 +204,40 @@ def test_sample_scan_step_matches_batched():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_accum_step_matches_batched():
+    """Host-loop gradient accumulation (the only decomposition the TPU
+    compile service accepts at 512^2) must equal the batched step: every
+    loss term is a per-sample mean, so the split differs only in fp
+    summation order."""
+    params = toy_params()
+    opt = make_optimizer(params, learning_rate=1e-2)
+    batch = make_batch(8)
+
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    s_b, loss_b, m_b = make_train_step(toy_loss, opt)(state, batch)
+
+    # 2-device mesh, 4 microbatches of (2 devices x 1 sample)
+    mesh = data_parallel_mesh(2)
+    astep = make_accum_train_step(toy_loss, opt, mesh)
+    microbatches = [
+        shard_batch(
+            jax.tree_util.tree_map(lambda x, i=i: x[2 * i:2 * i + 2], batch),
+            mesh)
+        for i in range(4)
+    ]
+    params_a = jax.tree_util.tree_map(jnp.copy, params)
+    state = TrainState(params_a, opt.init(params_a), jnp.asarray(0))
+    s_a, loss_a, m_a = astep(state, microbatches)
+
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_b["loss"]), float(m_a["loss"]), rtol=1e-5)
+    assert int(s_a.iteration) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(s_b.params),
+                    jax.tree_util.tree_leaves(s_a.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_parallel_sample_scan_full_pipeline():
     """shard_map'd sample-scan step on the real micro pipeline (B=2/device)
     matches the batched parallel step."""
@@ -231,4 +266,41 @@ def test_parallel_sample_scan_full_pipeline():
     np.testing.assert_allclose(float(loss_b), float(loss_s), rtol=2e-4)
     for a, b in zip(jax.tree_util.tree_leaves(s_b.params),
                     jax.tree_util.tree_leaves(s_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_accum_full_pipeline():
+    """Host-loop accum step on the real micro pipeline (2 microbatches of
+    2 devices x 1 sample) matches the batched parallel step."""
+    from guava_renderer_tpu.testing import make_micro_pipeline
+    from guava_renderer_tpu.train.pipeline import make_loss_fn
+
+    tp = make_micro_pipeline(batch_size=4)
+    loss_fn = make_loss_fn(tp.statics, tp.lpips_params)
+    mesh = data_parallel_mesh(2)
+    opt = make_optimizer(tp.params)
+    fresh = lambda: jax.tree_util.tree_map(jnp.copy, tp.params)  # noqa: E731
+
+    params = fresh()
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    pstep = make_parallel_train_step(loss_fn, opt, mesh)
+    s_b, loss_b, _ = pstep(state, shard_batch(tp.batch, mesh))
+
+    microbatches = [
+        shard_batch(
+            jax.tree_util.tree_map(
+                lambda x, i=i: x[2 * i:2 * i + 2]
+                if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
+                tp.batch),
+            mesh)
+        for i in range(2)
+    ]
+    params = fresh()
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    astep = make_accum_train_step(loss_fn, opt, mesh)
+    s_a, loss_a, _ = astep(state, microbatches)
+
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_b.params),
+                    jax.tree_util.tree_leaves(s_a.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -25,6 +25,63 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _run_accum(args, t0, pstep, state, batch, mesh):
+    """Accum mode: AOT-compile the batch-1 grad program, then (--execute)
+    run full accumulated steps — B grad calls + acc + apply per step —
+    reporting per-step and per-sample wall time."""
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    B = args.batch_size
+    microbatches = [
+        jax.tree_util.tree_map(
+            lambda x, i=i: x[i:i + 1]
+            if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
+            batch)
+        for i in range(B)
+    ]
+
+    tc = time.time()
+    try:
+        lowered = pstep.lower_grad(state, microbatches[0])
+        txt_len = len(lowered.as_text())
+        print(f"[{time.time()-t0:7.1f}s] grad lowered (trace "
+              f"{time.time()-tc:.1f}s, mlir {txt_len/1e6:.1f} MB)")
+        tc = time.time()
+        compiled = lowered.compile()
+        print(f"[{time.time()-t0:7.1f}s] GRAD COMPILE OK "
+              f"({time.time()-tc:.1f}s) on {jax.devices()[0].platform}")
+    except Exception as e:  # noqa: BLE001
+        print(f"COMPILE FAIL: {type(e).__name__}: {str(e)[:2000]}")
+        sys.exit(1)
+    try:
+        ma = compiled.memory_analysis()
+        print(f"  grad program: argument {ma.argument_size_in_bytes/2**30:.2f}"
+              f" GiB, output {ma.output_size_in_bytes/2**30:.2f} GiB, "
+              f"temp {ma.temp_size_in_bytes/2**30:.2f} GiB")
+    except Exception:
+        pass
+
+    if not args.execute:
+        return
+    for it in range(3):
+        te = time.time()
+        state, loss, metrics = pstep(state, microbatches)
+        loss = float(loss)
+        dt = time.time() - te
+        label = ("STEP OK (accum) " if it == 0 else
+                 f"step {it + 1}:         ")
+        print(f"[{time.time()-t0:7.1f}s] {label}loss={loss:.4f} "
+              f"({dt:.1f}s = {dt / B:.2f}s/sample, effective batch {B})")
+        if it == 0:
+            print("  metrics: " + " ".join(
+                f"{k}={float(v):.4g}" for k, v in sorted(metrics.items())))
+        assert jnp.isfinite(loss)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="axon", choices=["cpu", "axon", "tpu"])
@@ -38,6 +95,13 @@ def main():
                     help="per-sample gradient accumulation (lax.scan): the "
                          "XLA TPU compiler crashes on any batch>=2 512^2 "
                          "step; this keeps the program batch-1-shaped")
+    ap.add_argument("--accum", action="store_true",
+                    help="host-loop gradient accumulation: every COMPILED "
+                         "program is batch-1 (grad/acc/apply split) — the "
+                         "only decomposition the TPU compile service "
+                         "accepts at 512^2 (batch>=2 data arrays crash it "
+                         "even under lax.scan); effective batch = "
+                         "--batch-size")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialized forward (memory-vs-compute lever)")
     ap.add_argument("--dataset-dir", default="/tmp/guava_full_ds")
@@ -71,12 +135,17 @@ def main():
     # enough train frames for one full batch after the train/valid split
     # (a too-small dataset makes the loader yield nothing -> StopIteration)
     n_frames = max(4, 2 * args.batch_size + 2)
-    ds_dir = f"{args.dataset_dir}_f{n_frames}"
+    # key the cached dataset on every shape-determining config value —
+    # reusing a 512-config dataset for the micro config (same n_frames)
+    # feeds stale coeff dims into the EHM and the trace fails
+    n_shape = int(raw["MODEL"].get("synthetic_n_shape", 50))
+    n_exp = int(raw["MODEL"].get("synthetic_n_exp", 20))
+    ds_dir = (f"{args.dataset_dir}_f{n_frames}_o{origin}"
+              f"_s{n_shape}_e{n_exp}")
     if not os.path.exists(os.path.join(ds_dir, "videos_info.json")):
         write_synthetic_dataset(
             ds_dir, n_videos=1, n_frames=n_frames, image_size=origin,
-            n_shape=int(raw["MODEL"].get("synthetic_n_shape", 50)),
-            n_exp=int(raw["MODEL"].get("synthetic_n_exp", 20)),
+            n_shape=n_shape, n_exp=n_exp,
         )
     raw["DATASET"]["data_path"] = ds_dir
     raw["TRAIN"]["batch_size"] = args.batch_size
@@ -96,8 +165,12 @@ def main():
         lr_decay_iter=int(cfg.OPTIMIZE.lr_decay_iter),
     )
     mesh = data_parallel_mesh(1)
-    pstep = make_parallel_train_step(loss_fn, optimizer, mesh,
-                                     sample_scan=args.sample_scan)
+    if args.accum:
+        from guava_renderer_tpu.train.trainstep import make_accum_train_step
+        pstep = make_accum_train_step(loss_fn, optimizer, mesh)
+    else:
+        pstep = make_parallel_train_step(loss_fn, optimizer, mesh,
+                                         sample_scan=args.sample_scan)
 
     ds = build_dataset(cfg, "train")
     loader = PrefetchLoader(ds, args.batch_size, shuffle=False)
@@ -110,6 +183,10 @@ def main():
     shapes = {k: tuple(v.shape) for k, v in list(batch.items())[:4]
               if hasattr(v, "shape")}
     print(f"[{time.time()-t0:7.1f}s] batch ready {shapes} ...")
+
+    if args.accum:
+        _run_accum(args, t0, pstep, state, batch, mesh)
+        return
 
     tc = time.time()
     try:
