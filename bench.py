@@ -6,12 +6,13 @@ StyleUNet refine at 512^2, batch 1), on synthetic full-scale assets
 (SMPL-X-scale vertex count, 512^2 UV chart) with random weights — FLOPs and
 memory traffic match the real model; weight values don't affect speed.
 
-Rasterizer settings are the PARITY config (tile 32 / chunk 32 / size-
-classed duplication tpg 4 + 8192x32 — the same `MODEL.raster` block the
-training config uses, configs/train/ubody_512.yaml; tile 32 measured
-+8% over tile 16 with 84.5 dB oracle parity on the stress scene), so the
-number describes the renderer the rest of the framework runs, not a
-special-cased fast path.
+Rasterizer settings default to the PARITY config (tile 32 / chunk 32 /
+size-classed duplication tpg 2 + 8192x32 — the same `MODEL.raster` block
+the training config uses, configs/train/ubody_512.yaml; the emitted JSON
+echoes the exact RasterizeSettings it ran plus matches_train_config), so
+the number describes the renderer the rest of the framework runs, not a
+special-cased fast path. `--size-classes` ladders give zero-truncation
+EXACT configs (fidelity gated by tools/crosscheck_tpu.py --full-scale).
 
 Robustness: the axon backend is probed in a SUBPROCESS with a hard timeout
 and bounded retries before the in-process run (a downed tunnel hangs init
@@ -94,92 +95,19 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
 
     from guava_renderer_tpu.avatar.deformer import deform_with_vertices
     from guava_renderer_tpu.avatar.renderer import NeuralRefiner
-    from guava_renderer_tpu.avatar.state import GaussianAvatar
-    from guava_renderer_tpu.bodymodel import synthetic_ehm
-    from guava_renderer_tpu.bodymodel.ehm import (
-        BodyParams,
-        EhmModel,
-        FlameParams,
-        ehm_forward,
-    )
-    from guava_renderer_tpu.core.cameras import Camera
+    from guava_renderer_tpu.benchscene import make_bench_scene
+    from guava_renderer_tpu.bodymodel.ehm import ehm_forward
     from guava_renderer_tpu.ops.gsplat import RasterizeSettings, rasterize
 
-    INVTANFOV = 24.0
-
-    # full-scale synthetic rig: ~10.5k vertices + uv^2 UV chart
-    smplx, flame_m, extras = synthetic_ehm(
-        body_side=body_side, head_side=15, uv_size=uv, n_shape=50, n_exp=20
-    )
-    ehm = EhmModel.build(smplx, flame_m, extras)
-    faces = jnp.asarray(smplx.faces)
+    # the canonical bench scene — shared with the --full-scale fidelity
+    # gate (tools/crosscheck_tpu.py) so quality evidence and fps numbers
+    # describe the same splats
+    sc = make_bench_scene(size=size, uv=uv, body_side=body_side)
+    smplx, extras, ehm = sc.smplx, sc.extras, sc.ehm
+    avatar, cam, faces = sc.avatar, sc.cam, sc.faces
+    base_body, base_flame = sc.base_body, sc.base_flame
     V = smplx.num_vertices
-    N_uv = uv * uv
-    rng = np.random.default_rng(0)
-
-    uv_valid = jnp.asarray(extras.uvmap_mask.reshape(-1))
-    n_valid = int(np.asarray(uv_valid).sum())
-
-    def mk(shape, lo, hi):
-        return jnp.asarray(rng.uniform(lo, hi, shape), jnp.float32)
-
-    def trained_stats_scales(n, base):
-        """Trained-avatar scale statistics (VERDICT r2 weak #6): mostly
-        sub-tile splats with a fat tail of multi-tile ones, instead of the
-        flattering uniform draw. Mixture mirrors tests/test_tpg_fidelity.py,
-        scaled by `base` to land the same pixel-radius classes under this
-        scene's focal/depth (f=size*invtanfov/2, d~30)."""
-        u = rng.uniform(0, 1, n)
-        s = np.where(
-            u < 0.85, rng.lognormal(-4.2, 0.3, n),
-            np.where(u < 0.95, rng.lognormal(-3.0, 0.3, n),
-                     rng.lognormal(-1.9, 0.4, n)),
-        ) * base
-        aniso = rng.lognormal(0, 0.2, (n, 2))
-        return jnp.asarray(
-            np.stack([s, s * aniso[:, 0], s * aniso[:, 1]], -1), jnp.float32
-        )[None]
-
-    def trained_stats_opacity(n):
-        return jnp.asarray(
-            1.0 / (1.0 + np.exp(-rng.normal(-1.0, 1.5, (1, n, 1)))), jnp.float32
-        )
-
-    quats = rng.normal(size=(1, V, 4)).astype(np.float32)
-    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
-    uv_quats = rng.normal(size=(1, N_uv, 4)).astype(np.float32)
-    uv_quats /= np.linalg.norm(uv_quats, axis=-1, keepdims=True)
-
-    avatar = GaussianAvatar(
-        vtx_positions=jnp.asarray(smplx.v_template)[None],
-        vtx_colors=mk((1, V, 32), 0, 1),
-        vtx_opacity=trained_stats_opacity(V),
-        vtx_scales=trained_stats_scales(V, 0.7),
-        vtx_rotations=jnp.asarray(quats),
-        uv_local_xyz=mk((1, N_uv, 3), -0.5, 0.5),
-        uv_colors=mk((1, N_uv, 32), 0, 1),
-        # uv scales are multiplied by the binding face's edge length
-        # (~0.016 world for the 101-grid body) in the deformer; base 40
-        # lands the same sub-tile/medium/multi-tile pixel-radius classes
-        # as the vtx splats under this scene's focal/depth
-        uv_opacity=trained_stats_opacity(N_uv),
-        uv_scales=trained_stats_scales(N_uv, 40.0),
-        uv_rotations=jnp.asarray(uv_quats),
-        uv_binding_face=jnp.asarray(extras.uvmap_f_idx.reshape(-1)),
-        uv_face_bary=jnp.asarray(extras.uvmap_f_bary.reshape(-1, 3)),
-        uv_valid=uv_valid,
-    )
-
-    w2c = np.eye(4, dtype=np.float32)
-    w2c[2, 3] = 30.0  # long lens (invtanfov 24) needs distance
-    cam = Camera(
-        R=jnp.asarray(w2c[:3, :3]),
-        t=jnp.asarray(w2c[:3, 3]),
-        tanfovx=jnp.asarray(1.0 / INVTANFOV),
-        tanfovy=jnp.asarray(1.0 / INVTANFOV),
-        width=size,
-        height=size,
-    )
+    n_valid = int(np.asarray(avatar.uv_valid).sum())
     bg = jnp.zeros(32)
     settings = RasterizeSettings(tile=tile, chunk=chunk,
                                  max_tiles_per_gaussian=tpg,
@@ -200,16 +128,6 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             ref_params,
         )
-
-    base_body = BodyParams(
-        shape=jnp.zeros((1, smplx.n_shape)),
-        body_pose=jnp.zeros((1, 21, 3)),
-    )
-    base_flame = FlameParams(
-        shape=jnp.zeros((1, smplx.n_shape)),
-        exp=jnp.zeros((1, smplx.n_exp)),
-        jaw=jnp.zeros((1, 3)),
-    )
 
     # Big arrays (avatar, ehm tables, refiner params) ride as jit ARGUMENTS:
     # closed-over arrays are embedded into the lowered module as dense
@@ -587,6 +505,31 @@ def main():
     fps = stats["fps"]
 
     extra = {"fps": round(fps, 2), "device": stats.get("device", "?")}
+    # provenance: the EXACT raster settings this number was measured at,
+    # and whether they equal the training config's MODEL.raster block
+    # (configs/train/ubody_512.yaml — the one source of truth)
+    run_raster = {
+        "tile": args.tile, "chunk": args.chunk,
+        "max_tiles_per_gaussian": args.tpg,
+        "large_k": args.large_k, "tpg_large": args.tpg_large,
+        "size_classes": [list(p) for p in size_classes],
+        "vmem_classes": args.vmem_classes,
+        "presort": args.presort, "tile_cull": args.tile_cull,
+        "streaming": args.streaming,
+    }
+    extra["raster_settings"] = run_raster
+    try:
+        import yaml
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "configs", "train", "ubody_512.yaml")) as f:
+            train_raster = yaml.safe_load(f)["MODEL"]["raster"]
+        extra["matches_train_config"] = all(
+            run_raster[k] == v for k, v in train_raster.items()
+        ) and not size_classes and not args.vmem_classes and not args.streaming
+        extra["train_config_raster"] = train_raster
+    except Exception as e:  # yaml missing/unreadable: echo, don't die
+        extra["matches_train_config"] = f"unchecked ({e})"
     peak_flops, peak_bw = device_peaks(stats.get("device", ""))
     if "flops_per_frame" in stats:
         extra["flops_per_frame"] = stats["flops_per_frame"]

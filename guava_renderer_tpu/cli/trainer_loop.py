@@ -120,7 +120,32 @@ def run_training(
 
     loss_fn = make_loss_fn(rt.statics, lpips_params,
                            remat=bool(cfg.TRAIN.get('remat', False)))
-    pstep = make_parallel_train_step(loss_fn, optimizer, mesh)
+    # host-accum mode (TRAIN.host_accum): every compiled program stays
+    # batch-n_dev (1/device) and the microbatch loop runs on the host —
+    # the only decomposition the remote TPU compile service accepts for
+    # 512^2 steps with batch >= 2 (train/trainstep.py:201). Effective
+    # batch stays TRAIN.batch_size.
+    host_accum = bool(cfg.TRAIN.get("host_accum", False)) and batch_size > n_dev
+    if host_accum:
+        from ..train.trainstep import make_accum_train_step
+
+        astep = make_accum_train_step(loss_fn, optimizer, mesh)
+        n_micro = batch_size // n_dev
+        logger.info(f"host-accum: {n_micro} microbatches x {n_dev}/step")
+
+        def _split_micro(full):
+            return [
+                shard_batch(jax.tree_util.tree_map(
+                    lambda x, i=i: x[i * n_dev:(i + 1) * n_dev]
+                    if hasattr(x, "ndim") and getattr(x, "ndim", 0) > 0 else x,
+                    full), mesh)
+                for i in range(n_micro)
+            ]
+
+        def pstep(state, full_batch):
+            return astep(state, _split_micro(full_batch))
+    else:
+        pstep = make_parallel_train_step(loss_fn, optimizer, mesh)
     estep = make_parallel_eval_step(_eval_metrics_fn(rt.statics), mesh)
     vis_fwd = jax.jit(
         lambda params, batch: forward_pipeline(params, batch, rt.statics)[0]
@@ -140,9 +165,20 @@ def run_training(
     for it in range(init_iter, total + 1):
         if profile_dir and it == profile_start:
             jax.profiler.start_trace(profile_dir)
-        batch = shard_batch(next(train_iter), mesh)
+        raw = next(train_iter)
+        # host-accum shards per microbatch inside pstep; visuals/sharding
+        # below use a batch the compile service accepts (first microbatch)
+        if host_accum:
+            batch = shard_batch(jax.tree_util.tree_map(
+                lambda x: x[:n_dev]
+                if hasattr(x, "ndim") and getattr(x, "ndim", 0) > 0 else x,
+                raw), mesh)
+            step_in = raw
+        else:
+            batch = shard_batch(raw, mesh)
+            step_in = batch
         with speed.time_frame():
-            state, loss, metrics = pstep(state, batch)
+            state, loss, metrics = pstep(state, step_in)
         meter.update({k: float(v) for k, v in metrics.items()})
         if profile_dir and it == profile_start + 2:
             jax.block_until_ready(state.params)
@@ -154,7 +190,9 @@ def run_training(
         if it % visual_interval == 0:
             _dump_visuals(vis_fwd, state, batch, vis_dir, it)
         if it % check_interval == 0 or it == total:
-            val = run_validation(estep, state, valid_ds, batch_size, mesh)
+            val = run_validation(
+                estep, state, valid_ds,
+                n_dev if host_accum else batch_size, mesh)
             logger.info(f"validation @{it}: psnr={val['psnr']:.3f} ssim={val['ssim']:.4f}")
             ckpts.save_latest(state, it)
             if val["ssim"] > ckpts.best_ssim():

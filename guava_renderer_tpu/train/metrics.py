@@ -50,6 +50,10 @@ def evaluate_dirs(
     results = {
         k: (sum(v.values()) / len(v)) if v else None for k, v in per_view.items()
     }
+    if lpips_fn is None:
+        # loud skip: a silently-missing headline metric reads as "computed
+        # and bad" — record WHY it is null (no converted LPIPS-vgg weights)
+        results["lpips_skipped"] = "no converted LPIPS weights"
     with open(os.path.join(scene_dir, "per_view.json"), "w") as f:
         json.dump(per_view, f, indent=2)
     with open(os.path.join(scene_dir, "results.json"), "w") as f:
@@ -70,6 +74,8 @@ def evaluate_tree(root: str, lpips_fn=None) -> dict:
     for key in ("psnr", "ssim", "lpips", "mae"):
         vals = [r[key] for r in all_results.values() if r.get(key) is not None]
         agg[key] = sum(vals) / len(vals) if vals else None
+    if agg.get("lpips") is None and lpips_fn is None:
+        agg["lpips_skipped"] = "no converted LPIPS weights"
     out = {"scenes": all_results, "aggregate": agg}
     with open(os.path.join(root, "results.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -24,6 +24,151 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                       "raster_scene_v1.npz")
 
 
+def _parity_settings():
+    """The training config's MODEL.raster block — the one source of truth
+    (configs/train/ubody_512.yaml)."""
+    import yaml
+
+    from guava_renderer_tpu.ops.gsplat import RasterizeSettings
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "configs", "train", "ubody_512.yaml")) as f:
+        r = yaml.safe_load(f)["MODEL"]["raster"]
+    return RasterizeSettings(**r)
+
+
+def _psnr(a, b):
+    mse = float(((np.asarray(a) - np.asarray(b)) ** 2).mean())
+    return float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
+
+
+def _compute_oracle(path: str):
+    """CPU: uncapped dense-oracle composite of the exact bench scene
+    (global depth sort, tile-rect coverage, no duplication caps — the CUDA
+    pipeline's semantics, ref: rasterizer_impl.cu:292-311), plus the
+    truncation counts of the parity and exact-ladder binning configs."""
+    from guava_renderer_tpu.utils.platform import pin_platform
+
+    pin_platform("cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.benchscene import (
+        EXACT_LADDER, frame0_gaussians, make_bench_scene,
+    )
+    from guava_renderer_tpu.ops.gsplat import (
+        ALPHA_MIN, bin_gaussians,
+    )
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+    from guava_renderer_tpu.ops.gsplat_reference import rasterize_reference
+
+    sc = make_bench_scene()
+    gs = frame0_gaussians(sc)
+    bg = jnp.zeros(32)
+    st = _parity_settings()
+
+    print("[oracle] dense composite over "
+          f"P={gs.xyz.shape[1]} @ {sc.size}^2 (CPU, one-off, cached)...",
+          flush=True)
+    color, _, invd = jax.jit(
+        lambda x, c, o, s, q: rasterize_reference(
+            x, c, o, s, q, sc.cam, bg, tile=st.tile)
+    )(gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0], gs.rotation[0])
+
+    # truncation accounting for both configs (mirrors bench.py --stats-only)
+    proj = project_gaussians(gs.xyz[0], gs.scaling[0], gs.rotation[0],
+                             gs.opacity[0], sc.cam,
+                             st.scale_modifier, st.antialiasing)
+    contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
+    truncs = {}
+    for name, stv in [("parity", st),
+                      ("exact", st._replace(size_classes=EXACT_LADDER))]:
+        out = bin_gaussians(proj.mean2d, proj.depth, proj.radius_bin,
+                            contributing, sc.size, sc.size, stv,
+                            conic=proj.conic, alpha=proj.alpha)
+        truncs[name] = (int(np.asarray(out[-2])), int(np.asarray(out[-1])))
+        print(f"[oracle] {name}: instances={truncs[name][0]} "
+              f"truncated={truncs[name][1]}", flush=True)
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(
+        path, color=np.asarray(color), invd=np.asarray(invd),
+        parity_instances=truncs["parity"][0],
+        parity_truncated=truncs["parity"][1],
+        exact_instances=truncs["exact"][0],
+        exact_truncated=truncs["exact"][1],
+    )
+    print(f"[oracle] cached -> {path}", flush=True)
+
+
+def _full_scale_gate(platform: str, oracle_path: str):
+    """BASELINE.md quality gate at the REAL bench config and scale: on-chip
+    renders of the exact 512^2 trained-stats scene vs the uncapped CPU
+    oracle composite. PASS = the exact-ladder render within 0.5 dB-
+    equivalent PSNR (>= 50 dB, same bar as the golden-scene gate 2);
+    the parity config's truncation cost is reported alongside."""
+    import subprocess
+    import sys as _sys
+
+    if not os.path.isfile(oracle_path):
+        print(f"[full-scale] no cached oracle at {oracle_path}; computing "
+              "in a CPU subprocess...", flush=True)
+        r = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__), "--oracle-only",
+             "--oracle-path", oracle_path],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        if r.returncode != 0 or not os.path.isfile(oracle_path):
+            print("FULL-SCALE FAIL: oracle computation failed")
+            sys.exit(1)
+
+    from guava_renderer_tpu.utils.platform import pin_platform
+
+    pin_platform(platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    from guava_renderer_tpu.benchscene import (
+        EXACT_LADDER, frame0_gaussians, make_bench_scene,
+    )
+    from guava_renderer_tpu.ops.gsplat import rasterize
+
+    o = np.load(oracle_path)
+    sc = make_bench_scene()
+    gs = frame0_gaussians(sc)
+    bg = jnp.zeros(32)
+    st = _parity_settings()
+    configs = [
+        ("parity", st),
+        ("exact", st._replace(size_classes=EXACT_LADDER, vmem_classes=2)),
+    ]
+    out = {}
+    for name, stv in configs:
+        fn = jax.jit(lambda x, c, op, s, q, stv=stv: rasterize(
+            x, c, op, s, q, sc.cam, bg, stv)[0])
+        print(f"[full-scale] rendering {name} on "
+              f"{jax.devices()[0].platform}...", flush=True)
+        out[name] = np.asarray(
+            fn(gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+               gs.rotation[0]))
+
+    p_par = _psnr(out["parity"], o["color"])
+    p_ex = _psnr(out["exact"], o["color"])
+    p_pe = _psnr(out["parity"], out["exact"])
+    n_tr = int(o["exact_truncated"])
+    ok = p_ex >= 50.0 and n_tr == 0
+    print(
+        f"FULL-SCALE {'OK' if ok else 'FAIL'} on "
+        f"{jax.devices()[0].platform}: exact-ladder vs uncapped oracle "
+        f"psnr={p_ex:.1f}dB (gate >=50, trunc={n_tr}); parity vs oracle "
+        f"psnr={p_par:.1f}dB (trunc={int(o['parity_truncated'])}/"
+        f"{int(o['parity_instances'])}); parity vs exact psnr={p_pe:.1f}dB"
+    )
+    sys.exit(0 if ok else 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="axon", choices=["axon", "cpu", "tpu"])
@@ -39,8 +184,24 @@ def main():
                     help="gate the streaming blend path (payload sort + "
                          "contiguous block DMAs; colors bf16 through the "
                          "sort, so oracle gates use bf16 tolerance)")
+    ap.add_argument("--full-scale", action="store_true",
+                    help="FULL-SCALE fidelity gate (BASELINE <=0.5 dB): "
+                         "render the exact 512^2 bench scene (185k "
+                         "trained-stats gaussians) on-chip at the parity "
+                         "config AND a zero-truncation exact ladder, "
+                         "compare both against the uncapped dense-oracle "
+                         "composite (computed on CPU, cached on disk)")
+    ap.add_argument("--oracle-only", action="store_true",
+                    help="(internal) compute + cache the full-scale CPU "
+                         "oracle composite, then exit")
+    ap.add_argument("--oracle-path",
+                    default="outputs/bench/fullscale_oracle_v1.npz")
     args = ap.parse_args()
     platform = "axon" if args.platform == "tpu" else args.platform
+
+    if args.oracle_only:
+        _compute_oracle(args.oracle_path)
+        return
 
     from guava_renderer_tpu.utils.platform import pin_platform, probe_backend
 
@@ -49,6 +210,11 @@ def main():
         if not ok:
             print(f"CROSSCHECK SKIPPED: backend unavailable ({detail})")
             sys.exit(2)
+
+    if args.full_scale:
+        _full_scale_gate(platform, args.oracle_path)
+        return
+
     pin_platform(platform)
 
     import jax

@@ -1033,14 +1033,38 @@ def stage_frame_parts(sc, frames=3):
           flush=True)
 
 
-def run_stage(name, out_dir, platform):
+def run_stage(name, out_dir, platform, size_classes=(), vmem_classes=0,
+              bench_scene=False):
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
     if name == "golden":
         stage_golden(out_dir)
         return
-    sc = build_scene()
+    if bench_scene:
+        # the REAL bench scene (trained-stats splats, guava_renderer_tpu/
+        # benchscene.py) instead of the uniform-draw diag scene, so stage
+        # deltas describe the headline number's workload
+        from guava_renderer_tpu.avatar.deformer import deform_with_vertices
+        from guava_renderer_tpu.benchscene import (
+            frame0_gaussians, make_bench_scene,
+        )
+        from guava_renderer_tpu.bodymodel.ehm import ehm_forward
+        from guava_renderer_tpu.ops.gsplat import RasterizeSettings
+
+        b = make_bench_scene()
+        sc = dict(ehm=b.ehm, faces=b.faces, avatar=b.avatar, cam=b.cam,
+                  settings=RasterizeSettings(
+                      tile=32, chunk=32, max_tiles_per_gaussian=2,
+                      large_k=8192, tpg_large=32),
+                  base_body=b.base_body, base_flame=b.base_flame,
+                  gs=frame0_gaussians(b), ehm_forward=ehm_forward,
+                  deform=deform_with_vertices, size=b.size)
+    else:
+        sc = build_scene()
+    if size_classes or vmem_classes:
+        sc["settings"] = sc["settings"]._replace(
+            size_classes=tuple(size_classes), vmem_classes=vmem_classes)
     {
         "deform": stage_deform,
         "project": stage_project,
@@ -1055,6 +1079,7 @@ def run_stage(name, out_dir, platform):
         "refiner": stage_refiner,
         "refiner2": stage_refiner2,
         "refiner3": stage_refiner3,
+        "frame_parts": stage_frame_parts,
         "full": stage_full,
     }[name](sc)
 
@@ -1068,13 +1093,29 @@ def main():
     ap.add_argument("--stage-timeout", type=float, default=1800.0)
     ap.add_argument("--skip-probe", action="store_true",
                     help="caller already probed the tunnel")
+    ap.add_argument("--size-classes", default="",
+                    help="rect-area cap ladder 'area:cap,...' (bench.py "
+                         "--size-classes syntax); e.g. the EXACT ladder "
+                         "256:256,3840:64,28672:16,32768:4")
+    ap.add_argument("--vmem-classes", type=int, default=0)
+    ap.add_argument("--bench-scene", action="store_true",
+                    help="use the canonical trained-stats bench scene "
+                         "(benchscene.py) instead of the uniform diag scene")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+
+    size_classes = tuple(
+        tuple(int(v) for v in p.split(":"))
+        for p in args.size_classes.split(",") if p
+    )
 
     if args.stage:
         # child mode: one stage in-process
         try:
-            run_stage(args.stage, args.out, args.platform)
+            run_stage(args.stage, args.out, args.platform,
+                      size_classes=size_classes,
+                      vmem_classes=args.vmem_classes,
+                      bench_scene=args.bench_scene)
         except Exception:
             print(f"[{args.stage}] FAILED:", flush=True)
             traceback.print_exc()
@@ -1097,7 +1138,10 @@ def main():
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--stage", name, "--out", args.out,
-                 "--platform", args.platform],
+                 "--platform", args.platform,
+                 "--size-classes", args.size_classes,
+                 "--vmem-classes", str(args.vmem_classes)]
+                + (["--bench-scene"] if args.bench_scene else []),
                 timeout=args.stage_timeout,
             )
             status = f"exit={r.returncode}"
