@@ -34,12 +34,20 @@ def rasterize_reference(
     scale_modifier: float = 1.0,
     antialiasing: bool = False,
     tile: int = 16,
+    window: tuple | None = None,
 ):
     """Returns (color (C, H, W), radii (P,), invdepth (1, H, W)).
 
     `tile` models the tile-rect coverage granularity: like the CUDA
     pipeline, a Gaussian only contributes to pixels of tiles its 3-sigma
-    rect overlaps (its tail beyond the rect is cut off)."""
+    rect overlaps (its tail beyond the rect is cut off).
+
+    `window=(y0, x0, h, w)` restricts the composite to a pixel window (in
+    GLOBAL image coordinates — projection/culling are unchanged) and
+    returns (C, h, w)/(1, h, w) images: the O(P*H*W) dense scan is the
+    full-scale fidelity gate's ground truth and a full 512^2 frame is
+    hours on one CPU core, while a 128^2 crop is ~1/16 of that for the
+    same per-pixel semantics (tools/crosscheck_tpu.py --full-scale)."""
     from .gsplat_project import tile_rect as _tile_rect
 
     proj = project_gaussians(
@@ -59,8 +67,14 @@ def rasterize_reference(
     invd_g = 1.0 / proj.depth[order]
     rect_g = jnp.stack([rx0, ry0, rx1, ry1], -1)[order].astype(jnp.float32)
 
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
+    if window is not None:
+        wy0, wx0, wh, ww = window
+        ys = wy0 + jnp.arange(wh, dtype=jnp.float32)
+        xs = wx0 + jnp.arange(ww, dtype=jnp.float32)
+        H, W = wh, ww
+    else:
+        ys = jnp.arange(H, dtype=jnp.float32)
+        xs = jnp.arange(W, dtype=jnp.float32)
     px, py = jnp.meshgrid(xs, ys)  # (H, W)
 
     tx = jnp.floor(px / tile)

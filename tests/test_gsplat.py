@@ -61,6 +61,23 @@ def test_pallas_matches_reference(scene):
     np.testing.assert_allclose(invd_p, invd_r, atol=2e-5)
 
 
+def test_reference_window_crop(scene):
+    """window=(y0,x0,h,w) must equal the same crop of the full render —
+    the full-scale fidelity gate composites a 128^2 center crop this way
+    (tools/crosscheck_tpu.py --full-scale)."""
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.linspace(0.0, 1.0, C)
+    full, _, invd_full = rasterize_reference(
+        means, colors, opac, scales, quats, cam, bg
+    )
+    crop, _, invd_crop = rasterize_reference(
+        means, colors, opac, scales, quats, cam, bg, window=(16, 8, 32, 48)
+    )
+    np.testing.assert_array_equal(full[:, 16:48, 8:56], crop)
+    np.testing.assert_array_equal(invd_full[:, 16:48, 8:56], invd_crop)
+
+
 def test_pallas_matches_reference_dense_overlap():
     """Many overlapping near-opaque Gaussians exercise early termination."""
     rng = np.random.default_rng(11)
