@@ -6,13 +6,15 @@ StyleUNet refine at 512^2, batch 1), on synthetic full-scale assets
 (SMPL-X-scale vertex count, 512^2 UV chart) with random weights — FLOPs and
 memory traffic match the real model; weight values don't affect speed.
 
-Rasterizer settings default to the PARITY config (tile 32 / chunk 32 /
-size-classed duplication tpg 2 + 8192x32 — the same `MODEL.raster` block
-the training config uses, configs/train/ubody_512.yaml; the emitted JSON
-echoes the exact RasterizeSettings it ran plus matches_train_config), so
-the number describes the renderer the rest of the framework runs, not a
-special-cased fast path. `--size-classes` ladders give zero-truncation
-EXACT configs (fidelity gated by tools/crosscheck_tpu.py --full-scale).
+Rasterizer settings default to the production EXACT config (tile 32 /
+chunk 32 / size_classes cap ladder reaching ZERO truncation at this
+scene — the same `MODEL.raster` block the training config uses,
+configs/train/ubody_512.yaml, so the headline fps renders the uncapped
+CUDA composite the BASELINE <=0.5 dB gate demands; fidelity gated by
+tools/crosscheck_tpu.py --full-scale). The emitted JSON echoes the exact
+RasterizeSettings it ran plus matches_train_config — the number describes
+the renderer the rest of the framework runs, not a special-cased fast
+path.
 
 Robustness: the axon backend is probed in a SUBPROCESS with a hard timeout
 and bounded retries before the in-process run (a downed tunnel hangs init
@@ -394,15 +396,19 @@ def main():
     ap.add_argument("--tile", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--tpg", type=int, default=2)
-    ap.add_argument("--large-k", type=int, default=8192)
+    ap.add_argument("--large-k", type=int, default=0)
     ap.add_argument("--tpg-large", type=int, default=32)
     ap.add_argument("--vmem-classes", type=int, default=0,
                     help="keep the first N size classes VMEM-resident in "
                          "the blend kernel (no row DMA for classed ids)")
-    ap.add_argument("--size-classes", default="",
+    ap.add_argument("--size-classes",
+                    default="256:256,3840:64,28672:16,32768:4",
                     help="multi-class cap ladder 'count:cap,count:cap,...' "
                          "by descending rect area (supersedes large_k/"
-                         "tpg_large; zero-truncation exact configs)")
+                         "tpg_large). Default = the production EXACT "
+                         "ladder (zero truncation at the bench scene, "
+                         "configs/train/ubody_512.yaml); pass '' for a "
+                         "flat-cap config")
     ap.add_argument("--banks", type=int, default=1,
                     help="DMA semaphore banks for the row gather")
     ap.add_argument("--repeats", type=int, default=3)
@@ -526,7 +532,9 @@ def main():
             train_raster = yaml.safe_load(f)["MODEL"]["raster"]
         extra["matches_train_config"] = all(
             run_raster[k] == v for k, v in train_raster.items()
-        ) and not size_classes and not args.vmem_classes and not args.streaming
+        ) and (bool(size_classes)
+               == bool(train_raster.get("size_classes"))
+               ) and not args.vmem_classes and not args.streaming
         extra["train_config_raster"] = train_raster
     except Exception as e:  # yaml missing/unreadable: echo, don't die
         extra["matches_train_config"] = f"unchecked ({e})"

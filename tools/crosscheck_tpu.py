@@ -24,9 +24,10 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                       "raster_scene_v1.npz")
 
 
-def _parity_settings():
+def _train_settings():
     """The training config's MODEL.raster block — the one source of truth
-    (configs/train/ubody_512.yaml)."""
+    (configs/train/ubody_512.yaml; since r4 this is the zero-truncation
+    EXACT ladder)."""
     import yaml
 
     from guava_renderer_tpu.ops.gsplat import RasterizeSettings
@@ -34,7 +35,17 @@ def _parity_settings():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "configs", "train", "ubody_512.yaml")) as f:
         r = yaml.safe_load(f)["MODEL"]["raster"]
+    r["size_classes"] = tuple(
+        (int(c), int(k)) for c, k in r.get("size_classes", ())
+    )
     return RasterizeSettings(**r)
+
+
+def _flat_settings(st):
+    """The r3 flat-cap parity config (tpg 2 + 8192x32) — kept as the gate's
+    truncation-cost A/B arm after the production config moved to the exact
+    ladder."""
+    return st._replace(size_classes=(), large_k=8192, tpg_large=32)
 
 
 def _psnr(a, b):
@@ -77,7 +88,7 @@ def _compute_oracle(path: str):
     sc = make_bench_scene()
     gs = frame0_gaussians(sc)
     bg = jnp.zeros(32)
-    st = _parity_settings()
+    st = _train_settings()
 
     print("[oracle] dense composite over "
           f"P={gs.xyz.shape[1]} @ center {CROP}^2 of {sc.size}^2 "
@@ -94,7 +105,7 @@ def _compute_oracle(path: str):
                              st.scale_modifier, st.antialiasing)
     contributing = proj.valid & (proj.alpha.reshape(-1) >= ALPHA_MIN)
     truncs = {}
-    for name, stv in [("parity", st),
+    for name, stv in [("flat", _flat_settings(st)),
                       ("exact", st._replace(size_classes=EXACT_LADDER))]:
         out = bin_gaussians(proj.mean2d, proj.depth, proj.radius_bin,
                             contributing, sc.size, sc.size, stv,
@@ -106,8 +117,8 @@ def _compute_oracle(path: str):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(
         path, color=np.asarray(color), invd=np.asarray(invd),
-        parity_instances=truncs["parity"][0],
-        parity_truncated=truncs["parity"][1],
+        flat_instances=truncs["flat"][0],
+        flat_truncated=truncs["flat"][1],
         exact_instances=truncs["exact"][0],
         exact_truncated=truncs["exact"][1],
     )
@@ -117,13 +128,14 @@ def _compute_oracle(path: str):
 def _full_scale_gate(platform: str, oracle_path: str):
     """BASELINE.md quality gate at the REAL bench config and scale: on-chip
     renders of the exact 512^2 trained-stats scene, judged two ways —
-    (a) the zero-truncation exact-ladder render IS the uncapped composite
-        by construction (every instance emitted, same duplication semantics
+    (a) the zero-truncation exact-ladder render (the production config,
+        configs/train/ubody_512.yaml) IS the uncapped composite by
+        construction (every instance emitted, same duplication semantics
         as rasterizer_impl.cu:292-311); its center crop must match the
-        independent CPU dense-oracle crop >= 50 dB (≈ the 0.5 dB BASELINE
-        budget with headroom; same bar as the golden-scene gate), and
-    (b) the parity (training) config's full-frame PSNR vs the exact render
-        measures exactly what its truncation costs."""
+        independent CPU dense-oracle crop >= 50 dB (well inside the
+        0.5 dB BASELINE budget; same bar as the golden-scene gate), and
+    (b) the r3 flat-cap config's full-frame PSNR vs the exact render
+        measures exactly what its truncation used to cost."""
     import subprocess
     import sys as _sys
 
@@ -155,10 +167,10 @@ def _full_scale_gate(platform: str, oracle_path: str):
     sc = make_bench_scene()
     gs = frame0_gaussians(sc)
     bg = jnp.zeros(32)
-    st = _parity_settings()
+    st = _train_settings()
     configs = [
-        ("parity", st),
-        ("exact", st._replace(size_classes=EXACT_LADDER, vmem_classes=2)),
+        ("flat", _flat_settings(st)),
+        ("exact", st._replace(size_classes=EXACT_LADDER)),
     ]
     out = {}
     for name, stv in configs:
@@ -173,8 +185,8 @@ def _full_scale_gate(platform: str, oracle_path: str):
     y0, x0, h, w = _crop_window(sc.size)
     crop = lambda img: np.asarray(img)[:, y0:y0 + h, x0:x0 + w]  # noqa: E731
     p_ex = _psnr(crop(out["exact"]), o["color"])
-    p_par = _psnr(crop(out["parity"]), o["color"])
-    p_pe = _psnr(out["parity"], out["exact"])
+    p_par = _psnr(crop(out["flat"]), o["color"])
+    p_pe = _psnr(out["flat"], out["exact"])
     n_tr = int(o["exact_truncated"])
     ok = p_ex >= 50.0 and n_tr == 0
     print(
@@ -182,9 +194,9 @@ def _full_scale_gate(platform: str, oracle_path: str):
         f"{jax.devices()[0].platform}: exact-ladder crop vs uncapped "
         f"dense-oracle crop psnr={p_ex:.1f}dB (gate >=50; full-frame "
         f"truncation={n_tr} -> the exact render IS the uncapped "
-        f"composite); parity crop vs oracle psnr={p_par:.1f}dB; parity "
+        f"composite); flat-cap crop vs oracle psnr={p_par:.1f}dB; flat "
         f"vs exact FULL-frame psnr={p_pe:.1f}dB (truncation cost, "
-        f"{int(o['parity_truncated'])}/{int(o['parity_instances'])} "
+        f"{int(o['flat_truncated'])}/{int(o['flat_instances'])} "
         "instances truncated)"
     )
     sys.exit(0 if ok else 1)
