@@ -711,6 +711,87 @@ def _row_gather_helpers(table_hbm, order_hbm, idx_sm, buf, sems, osems,
     return idx_dma, rows_start, rows_wait
 
 
+def _gather_rows_kernel(ids_hbm, table_hbm, out_ref, buf, sems, idx_sm,
+                        osems, *, chunk):
+    """One (G, _PK) output block per grid step: stage the chunk's ids
+    HBM->SMEM, issue G single-row DMAs table[id] -> VMEM (double-buffered
+    one chunk ahead), copy to the block. G is a multiple of 128 so every
+    SMEM index offset is static."""
+    G = chunk
+    WR = G // 128
+    nchunks = pl.num_programs(0)
+    c0 = pl.program_id(0)
+
+    def idx_dma(slot, c):
+        return pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(c * WR, WR)], idx_sm.at[slot], osems.at[slot]
+        )
+
+    def rows_start(slot):
+        for g in range(G):
+            pltpu.make_async_copy(
+                table_hbm.at[pl.ds(idx_sm[slot, g // 128, g % 128], 1)],
+                buf.at[slot, pl.ds(g, 1)],
+                sems.at[slot],
+            ).start()
+
+    @pl.when(c0 == 0)
+    def _():
+        idx_dma(0, 0).start()
+        idx_dma(0, 0).wait()
+        rows_start(0)
+
+    slot = jax.lax.rem(c0, 2)
+
+    @pl.when(c0 + 1 < nchunks)
+    def _():
+        idx_dma(1 - slot, c0 + 1).start()
+        idx_dma(1 - slot, c0 + 1).wait()
+        rows_start(1 - slot)
+
+    pltpu.make_async_copy(
+        table_hbm.at[pl.ds(0, G)], buf.at[slot], sems.at[slot]
+    ).wait()
+    out_ref[:] = buf[slot]
+
+
+def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
+                chunk: int = 128) -> jnp.ndarray:
+    """table[(L,) ids] -> (L, table.shape[1]) by in-kernel single-row DMAs.
+
+    XLA's row gather materializes catastrophically on TPU (~16 us/row at
+    2.2M rows, outputs/bench/tpu_diag_r3a); per-row DMA descriptors issue
+    at the ~55 ns floor — 300x faster. Used to build the VMEM-resident
+    classed table (rasterize vmem_classes) from per-gaussian columns.
+    Out-of-range ids must not occur; pad ids with 0 (padded rows are
+    returned and must be ignored by the caller)."""
+    K = table.shape[1]
+    L = ids.shape[0]
+    Lp = -(-L // chunk) * chunk
+    ids_pad = jnp.concatenate(
+        [ids.astype(jnp.int32), jnp.zeros((Lp - L,), jnp.int32)])
+    ids2d = ids_pad.reshape(-1, 128)
+    out = pl.pallas_call(
+        functools.partial(_gather_rows_kernel, chunk=chunk),
+        grid=(Lp // chunk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((chunk, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Lp, K), table.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, K), table.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2, chunk // 128, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(ids2d, table)
+    return out[:L]
+
+
 def _rmw_helpers(dtable_hbm, idx_sm, dacc, dbuf, rsems, wsems, start, chunk,
                  num, banks=1):
     """Backward-pass read-modify-write accumulation of per-gaussian grads
@@ -1805,26 +1886,17 @@ def rasterize(
         order_orig = jnp.concatenate(
             [order_orig, jnp.zeros((pad_rows,), order_orig.dtype)], axis=0
         )
-        # the VMEM table = per_gauss[lids], built from the same columns so
-        # the values are bit-identical to the DMA path (no XLA row gather:
-        # each (L,) column gathers independently, then concat)
+        # the VMEM table = per_gauss[lids] — bit-identical rows to what the
+        # DMA path would fetch. In-kernel single-row-DMA gather: XLA column
+        # gathers of the same rows measured ~+4.7 ms/frame at L=4096 on-chip
+        # (bench_exact_vmem 18.34 fps vs all-DMA 20.08,
+        # outputs/bench/tpu_window_r4a/), ~55 ns/row descriptor floor here.
         L = lids.shape[0]
         if L * _PK * 4 > 8 * 1024 * 1024:
             raise ValueError(
                 f"vmem_classes table {L} rows = {L * _PK * 4 / 1e6:.1f} MB "
                 "exceeds the 8 MB VMEM budget — fewer/smaller classes")
-        ltable = jax.lax.stop_gradient(jnp.concatenate(
-            [
-                proj.mean2d[lids],
-                proj.conic[lids],
-                proj.alpha[lids, None],
-                jnp.zeros((L, 2), jnp.float32),
-                colors[lids],
-                invd[lids, None],
-                jnp.zeros((L, _PK - _GEOM - NUM_CHANNELS - 1), jnp.float32),
-            ],
-            axis=-1,
-        ))
+        ltable = gather_rows(jax.lax.stop_gradient(per_gauss), lids)
         out4, _ = blend_tiles_vmem(per_gauss, ltable, order, order_orig,
                                    ranges, bg_ext, H, W, tile,
                                    settings.chunk, P, settings.dma_banks)
