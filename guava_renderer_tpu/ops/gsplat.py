@@ -549,9 +549,24 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
                 "streaming/payload binning is incompatible with "
                 "instance_budget (the budget compaction would have to "
                 "re-gather every payload column)")
-        sorted_tile, _, order, *spay = jax.lax.sort(
-            (tile_flat, dk_flat, gid_flat, *pay_flat), num_keys=2
+        # Split stable sort: XLA TPU compile time explodes with lax.sort
+        # operand count when all outputs are consumed (~4 ops 40 s, 2x13
+        # ops 195 s, 26 ops never — the r3 streaming payload sort died
+        # mid-compile). lax.sort is STABLE, so K sorts with the IDENTICAL
+        # (tile, depth-bits) keys produce the IDENTICAL permutation; the
+        # payload columns ride in groups of <= _SORT_MAX_OPS-2 and the
+        # results concatenate exactly as one big sort would.
+        first = _SORT_MAX_OPS - 3
+        sorted_tile, _, order, *spay0 = jax.lax.sort(
+            (tile_flat, dk_flat, gid_flat, *pay_flat[:first]), num_keys=2
         )
+        spay = list(spay0)
+        for g in range(first, len(pay_flat), _SORT_MAX_OPS - 2):
+            _, _, *spay_g = jax.lax.sort(
+                (tile_flat, dk_flat,
+                 *pay_flat[g:g + _SORT_MAX_OPS - 2]), num_keys=2
+            )
+            spay.extend(spay_g)
         ranges = jnp.searchsorted(
             sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
             method="scan",
@@ -653,6 +668,9 @@ def _chunk_alphas(geom, px, py, mask2d):
     ag = a_op * gexp
     contrib = (gexp <= 1.0) & (ag >= ALPHA_MIN) & mask2d
     return jnp.where(contrib, jnp.minimum(ag, ALPHA_MAX), 0.0), d0, d1, gexp
+
+
+_SORT_MAX_OPS = 13   # lax.sort operand-count compile cliff (see split sort)
 
 
 def _idx_rows(chunk: int) -> int:

@@ -526,6 +526,32 @@ def test_streaming_dense_overlap_and_large_k(scene):
     np.testing.assert_allclose(np.asarray(invd_s), np.asarray(invd_r), atol=2e-3)
 
 
+def test_streaming_with_size_class_ladder(scene):
+    """streaming + size_classes is the production exact config (the 23-col
+    payload rides the SPLIT stable sorts — identical keys, identical
+    permutation); must match the non-streaming ladder render at bf16 color
+    tolerance and reach zero truncation."""
+    rng = np.random.default_rng(29)
+    means, colors, opac, scales, quats = make_scene(
+        rng, P=256, spread=0.2, opacity_hi=0.98
+    )
+    cam = make_cam(64)
+    bg = jnp.linspace(0.0, 1.0, C)
+    ladder = ((8, 64), (24, 24), (64, 8))
+    colors_bf = colors.astype(jnp.bfloat16).astype(jnp.float32)
+    out_s, radii_s, invd_s = rasterize(
+        means, colors, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=16, streaming=True, size_classes=ladder),
+    )
+    out_b, radii_b, _ = rasterize(
+        means, colors_bf, opac, scales, quats, cam, bg,
+        RasterizeSettings(chunk=16, presort=False, size_classes=ladder),
+    )
+    np.testing.assert_array_equal(radii_s, radii_b)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
+                               atol=2e-6)
+
+
 def test_streaming_gradients_close(scene):
     """Gradients flow through the per-gaussian table (same RMW backward as
     the gather path); only the residual out/T differ by bf16 color rounding,
