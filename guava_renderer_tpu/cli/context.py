@@ -128,6 +128,7 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
             (int(c), int(k)) for c, k in raster_cfg.get("size_classes", ())
         ),
         vmem_classes=int(raster_cfg.get("vmem_classes", 0)),
+        streaming=bool(raster_cfg.get("streaming", False)),
     )
     banks = int(raster_cfg.get("dma_banks", 1))
     assert int(raster_cfg.get("chunk", 32)) % max(banks, 1) == 0, (

@@ -1034,7 +1034,7 @@ def stage_frame_parts(sc, frames=3):
 
 
 def run_stage(name, out_dir, platform, size_classes=(), vmem_classes=0,
-              bench_scene=False):
+              bench_scene=False, tile=32):
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -1055,7 +1055,7 @@ def run_stage(name, out_dir, platform, size_classes=(), vmem_classes=0,
         b = make_bench_scene()
         sc = dict(ehm=b.ehm, faces=b.faces, avatar=b.avatar, cam=b.cam,
                   settings=RasterizeSettings(
-                      tile=32, chunk=32, max_tiles_per_gaussian=2,
+                      tile=tile, chunk=32, max_tiles_per_gaussian=2,
                       large_k=8192, tpg_large=32),
                   base_body=b.base_body, base_flame=b.base_flame,
                   gs=frame0_gaussians(b), ehm_forward=ehm_forward,
@@ -1101,6 +1101,7 @@ def main():
     ap.add_argument("--bench-scene", action="store_true",
                     help="use the canonical trained-stats bench scene "
                          "(benchscene.py) instead of the uniform diag scene")
+    ap.add_argument("--tile", type=int, default=32)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -1115,7 +1116,7 @@ def main():
             run_stage(args.stage, args.out, args.platform,
                       size_classes=size_classes,
                       vmem_classes=args.vmem_classes,
-                      bench_scene=args.bench_scene)
+                      bench_scene=args.bench_scene, tile=args.tile)
         except Exception:
             print(f"[{args.stage}] FAILED:", flush=True)
             traceback.print_exc()
@@ -1140,7 +1141,8 @@ def main():
                  "--stage", name, "--out", args.out,
                  "--platform", args.platform,
                  "--size-classes", args.size_classes,
-                 "--vmem-classes", str(args.vmem_classes)]
+                 "--vmem-classes", str(args.vmem_classes),
+                 "--tile", str(args.tile)]
                 + (["--bench-scene"] if args.bench_scene else []),
                 timeout=args.stage_timeout,
             )
