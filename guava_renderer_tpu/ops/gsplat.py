@@ -556,17 +556,21 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
         # (tile, depth-bits) keys produce the IDENTICAL permutation; the
         # payload columns ride in groups of <= _SORT_MAX_OPS-2 and the
         # results concatenate exactly as one big sort would.
-        first = _SORT_MAX_OPS - 3
-        sorted_tile, _, order, *spay0 = jax.lax.sort(
-            (tile_flat, dk_flat, gid_flat, *pay_flat[:first]), num_keys=2
+        key, nkeys = _pack_sort_key(tile_flat, dk_flat, num_tiles)
+        first = _SORT_MAX_OPS - 1 - nkeys
+        sorted_key, *rest = jax.lax.sort(
+            (*key, gid_flat, *pay_flat[:first]), num_keys=nkeys
         )
+        skey = (sorted_key, *rest[:nkeys - 1])
+        order, *spay0 = rest[nkeys - 1:]
         spay = list(spay0)
-        for g in range(first, len(pay_flat), _SORT_MAX_OPS - 2):
-            _, _, *spay_g = jax.lax.sort(
-                (tile_flat, dk_flat,
-                 *pay_flat[g:g + _SORT_MAX_OPS - 2]), num_keys=2
+        for g in range(first, len(pay_flat), _SORT_MAX_OPS - nkeys):
+            out_g = jax.lax.sort(
+                (*key, *pay_flat[g:g + _SORT_MAX_OPS - nkeys]),
+                num_keys=nkeys,
             )
-            spay.extend(spay_g)
+            spay.extend(out_g[nkeys:])
+        sorted_tile = _unpack_sort_tile(skey, num_tiles)
         ranges = jnp.searchsorted(
             sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
             method="scan",
@@ -578,11 +582,41 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
                 num_truncated
         return ranges, order, tuple(spay), num_valid, num_truncated
 
-    sorted_tile, _, order = jax.lax.sort(
-        (tile_flat, dk_flat, gid_flat), num_keys=2
-    )
-    return _finish_bin(sorted_tile, order, num_tiles, num_valid,
+    key, nkeys = _pack_sort_key(tile_flat, dk_flat, num_tiles)
+    out = jax.lax.sort((*key, gid_flat), num_keys=nkeys)
+    sorted_tile = _unpack_sort_tile(out[:nkeys], num_tiles)
+    return _finish_bin(sorted_tile, out[nkeys], num_tiles, num_valid,
                        num_truncated, settings)
+
+
+def _pack_sort_key(tile_flat, dk_flat, num_tiles):
+    """Pack (tile, depth-bits) into ONE positive i32 key when they fit:
+    tile in the high bits, the depth's top 31-tile_bits bits below. The
+    instance sort is data-volume bound (ops x rows x passes — the r4
+    streaming payload sort measured it directly), so 2 operands instead
+    of 3 is a ~33% cut. Dropped low depth bits only reorder splats whose
+    f32 depths agree to ~2^-14 relative; ties resolve stably by
+    duplication order, the same policy as equal CUDA radix keys
+    (rasterizer_impl.cu:292-311). Falls back to the two-key form when
+    tile bits don't fit (huge grids)."""
+    tb = int(num_tiles).bit_length()
+    db = 31 - tb
+    if db >= 20:
+        # dk >= 0 for valid rows (depth > 0 bitcast) so the shift keeps the
+        # top db depth bits exactly; invalid rows may carry a NEGATIVE dk
+        # (culled depth <= 0 bitcast) whose arithmetic shift would set the
+        # high bits and sort them FIRST — the mask bounds them under their
+        # tile == num_tiles prefix, which dominates the key
+        mask = (1 << db) - 1
+        return ((tile_flat << db) | ((dk_flat >> (31 - db)) & mask),), 1
+    return (tile_flat, dk_flat), 2
+
+
+def _unpack_sort_tile(sorted_keys, num_tiles):
+    if len(sorted_keys) == 1:
+        tb = int(num_tiles).bit_length()
+        return sorted_keys[0] >> (31 - tb)
+    return sorted_keys[0]
 
 
 def _finish_bin(sorted_tile, order, num_tiles, num_valid, num_truncated,
