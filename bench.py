@@ -147,8 +147,10 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
             build_face_sort_plan, compact_faces,
         )
 
+        # built from the PRUNED avatar's own binding arrays (benchscene
+        # statically compacts the chart, mirroring cli/inference.py)
         plan = build_face_sort_plan(
-            extras.uvmap_f_idx.reshape(-1), extras.uvmap_mask.reshape(-1)
+            np.asarray(avatar.uv_binding_face), np.asarray(avatar.uv_valid)
         )
         avatar = jax.tree_util.tree_map(np.asarray, avatar)
         avatar = sort_avatar_by_plan(avatar, plan)  # host-side, once

@@ -114,6 +114,17 @@ def make_bench_scene(size: int = 512, uv: int = 512, body_side: int = 101,
         uv_valid=uv_valid,
     )
 
+    # Offline static compaction, mirroring the inference path the bench
+    # models (cli/inference.py:infer_avatar prunes before rendering, as the
+    # reference's prune_gaussians does): threshold 0 drops ONLY the
+    # statically-dead chart rows (uv_valid False — they emit no instances
+    # in any path, so the rendered image and the fidelity oracle are
+    # bit-unchanged), cutting P 272.6k -> 186.6k: ~32% of projection math
+    # and ~13% of instance-sort rows carried for nothing.
+    from .avatar.state import prune_avatar
+
+    avatar = prune_avatar(avatar, opacity_threshold=0.0)
+
     w2c = np.eye(4, dtype=np.float32)
     w2c[2, 3] = 30.0  # long lens (invtanfov 24) needs distance
     cam = Camera(
