@@ -129,6 +129,14 @@ class RasterizeSettings(NamedTuple):
     streaming: bool = False
     scale_modifier: float = 1.0
     antialiasing: bool = False
+    # Early-exit cadence for the forward blend: check the all-pixels-
+    # saturated flag every `exit_every` chunks (0 disables the check).
+    # The flag is a vector->scalar reduce feeding the while-loop condition
+    # — a full VPU-pipeline drain on the chunk critical path — so checking
+    # every chunk costs serialization even when it saves row DMAs; on the
+    # bench scene the exit fires after ~19% of chunks (tools/ee_probe.py),
+    # so the saved fetches normally dominate. Tunable for the A/B.
+    exit_every: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -914,19 +922,23 @@ def _fwd_kernel(
     bg_ref,        # (CCH, 1)
     out_ref,       # block (1, 1, CCH, PIX)
     t_ref,         # block (1, 1, 1, PIX)
-    buf,
-    sems,
-    idx_sm,        # scratch SMEM (2, WR, 128) i32 index windows
-    osems,
-    acc_ref,       # scratch (CCH, PIX)
-    state_ref,     # scratch (8, PIX): row0 = T, row1 = dead
-    flag_ref,      # scratch SMEM (1,): 1 when every pixel saturated
-    *,
+    *refs,         # [cnt_ref (1, 1) i32 if emit_counts] + scratch
     tile: int,
     chunk: int,
     grid_x: int,
     banks: int = 1,
+    exit_every: int = 1,
+    emit_counts: bool = False,
 ):
+    if emit_counts:
+        cnt_ref, *refs = refs
+    (buf, sems,
+     idx_sm,       # scratch SMEM (2, WR, 128) i32 index windows
+     osems,
+     acc_ref,      # scratch (CCH, PIX)
+     state_ref,    # scratch (8, PIX): row0 = T, row1 = dead
+     flag_ref,     # scratch SMEM (1,): 1 when every pixel saturated
+     ) = refs
     G = chunk
     PIX = tile * tile
     t_idx = pl.program_id(0) * grid_x + pl.program_id(1)
@@ -959,6 +971,8 @@ def _fwd_kernel(
     # loop state lives in scratch refs; the while carry is the chunk counter
     # only (Mosaic cannot yield padded vector carries from scf.while)
     def cond(c):
+        if not exit_every:
+            return c < nchunks
         return (c < nchunks) & (flag_ref[0] == 0)
 
     def body(c):
@@ -1009,7 +1023,15 @@ def _fwd_kernel(
         dead_f = jnp.maximum(state_ref[1:2, :], died.astype(jnp.float32))
         state_ref[0:1, :] = T
         state_ref[1:2, :] = dead_f
-        flag_ref[0] = (jnp.min(dead_f) > 0.5).astype(jnp.int32)
+        if exit_every == 1:
+            flag_ref[0] = (jnp.min(dead_f) > 0.5).astype(jnp.int32)
+        elif exit_every:
+            # amortize the vector->scalar flag reduce (a VPU-pipeline
+            # drain on the while-loop critical path) over exit_every
+            # chunks; the exit overshoots at most exit_every-1 chunks
+            @pl.when(jax.lax.rem(c, exit_every) == exit_every - 1)
+            def _():
+                flag_ref[0] = (jnp.min(dead_f) > 0.5).astype(jnp.int32)
         return c + 1
 
     cf = jax.lax.while_loop(cond, body, 0)
@@ -1029,6 +1051,8 @@ def _fwd_kernel(
     out = acc_ref[:] + bg_ref[:] * T               # (CCH,1)*(1,PIX)
     out_ref[:] = out.reshape(1, 1, _CCH, PIX)
     t_ref[:] = T.reshape(1, 1, 1, PIX)
+    if emit_counts:
+        cnt_ref[:] = jnp.full((1, 1, 8, 128), cf, jnp.int32)
 
 
 def _row_gather_helpers_vmem(table_hbm, ltable, order_hbm, idx_sm, buf,
@@ -1498,9 +1522,9 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def blend_tiles(table, order, ranges, bg, height, width, tile, chunk,
-                banks=1):
+                banks=1, exit_every=1):
     """Fused gather + blend: table (P, _PK) per-gaussian rows, order (N_pad,)
     i32 tile/depth-sorted instance->gaussian ids, ranges (T+1,).
 
@@ -1509,7 +1533,7 @@ def blend_tiles(table, order, ranges, bg, height, width, tile, chunk,
     materializing the (N, _PK) packed array XLA's gather took 35 s to
     build on-chip (outputs/bench/tpu_diag_r3a)."""
     return _blend_fwd_call(table, order, ranges, bg, height, width, tile,
-                           chunk, banks)
+                           chunk, banks, exit_every)
 
 
 def _order_2d(order, chunk):
@@ -1524,7 +1548,7 @@ def _order_2d(order, chunk):
 
 
 def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk,
-                    banks=1):
+                    banks=1, exit_every=1, emit_counts=False):
     if chunk % banks != 0:
         raise ValueError(
             f"chunk ({chunk}) must be divisible by dma_banks ({banks}): the "
@@ -1548,7 +1572,8 @@ def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk,
         out_specs=[
             pl.BlockSpec((1, 1, _CCH, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, PIX), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, 1, 8, 128), lambda i, j, r: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)] if emit_counts else []),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, _PK), jnp.float32),
             pltpu.SemaphoreType.DMA((2, banks)),
@@ -1560,27 +1585,40 @@ def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk,
         ],
     )
     kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk, grid_x=gx,
-                               banks=banks)
-    out, t = pl.pallas_call(
+                               banks=banks, exit_every=exit_every,
+                               emit_counts=emit_counts)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((gy, gx, _CCH, PIX), jnp.float32),
             jax.ShapeDtypeStruct((gy, gx, 1, PIX), jnp.float32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((gy, gx, 8, 128), jnp.int32)]
+             if emit_counts else []),
         interpret=_interpret(),
     )(ranges, table, _order_2d(order, chunk), bg.reshape(_CCH, 1))
-    return out, t
+    return tuple(outs)
+
+
+def blend_probe(table, order, ranges, bg, height, width, tile, chunk,
+                banks=1, exit_every=1):
+    """Instrumented forward blend: (out, final_T, chunks_run (gy, gx, 8, 128) — count at [...,0,0]).
+
+    Same kernel as blend_tiles plus a per-tile count of while-loop
+    iterations actually executed — the ground truth for whether the
+    early exit fires ON-CHIP (tools/ee_probe.py). Not differentiable."""
+    return _blend_fwd_call(table, order, ranges, bg, height, width, tile,
+                           chunk, banks, exit_every, emit_counts=True)
 
 
 def _blend_fwd(table, order, ranges, bg, height, width, tile, chunk,
-               banks=1):
+               banks=1, exit_every=1):
     out, t = _blend_fwd_call(table, order, ranges, bg, height, width, tile,
-                             chunk, banks)
+                             chunk, banks, exit_every)
     return (out, t), (table, order, ranges, bg, out, t)
 
 
-def _blend_bwd(height, width, tile, chunk, banks, res, grads):
+def _blend_bwd(height, width, tile, chunk, banks, exit_every, res, grads):
     if chunk % banks != 0:
         raise ValueError(
             f"chunk ({chunk}) must be divisible by dma_banks ({banks})")
@@ -1722,8 +1760,8 @@ def _blend_fwd_vmem(table, ltable, order, order_orig, ranges, bg, height,
 
 
 def _blend_bwd_vmem(height, width, tile, chunk, pb, banks, res, grads):
-    d_table, _, _, g_bg = _blend_bwd(height, width, tile, chunk, banks, res,
-                                     grads)
+    d_table, _, _, g_bg = _blend_bwd(height, width, tile, chunk, banks, 1,
+                                     res, grads)
     return d_table, None, None, None, None, g_bg
 
 
@@ -1790,8 +1828,8 @@ def _blend_fwd_stream(table, stream, order, ranges, bg, height, width,
 
 
 def _blend_bwd_stream(height, width, tile, chunk, banks, res, grads):
-    d_table, _, _, g_bg = _blend_bwd(height, width, tile, chunk, banks, res,
-                                     grads)
+    d_table, _, _, g_bg = _blend_bwd(height, width, tile, chunk, banks, 1,
+                                     res, grads)
     return d_table, None, None, None, g_bg
 
 
@@ -1973,7 +2011,8 @@ def rasterize(
                                      settings.dma_banks)
     else:
         out4, _ = blend_tiles(per_gauss, order, ranges, bg_ext, H, W, tile,
-                              settings.chunk, settings.dma_banks)
+                              settings.chunk, settings.dma_banks,
+                              settings.exit_every)
     out = _tiled_to_image(out4, H, W, tile)  # (H, W, CCH)
 
     if not channels_first:
