@@ -473,7 +473,21 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
         packed_need = ((need + 1) << id_bits) | gids0
         ranked = jax.lax.sort(packed_need)[::-1] & ((1 << id_bits) - 1)
 
-        base_valid = valid
+        # Gather EVERY per-gaussian bin array into area-rank order once
+        # (1-D gathers at this scale are ~free, bin2 diag): each class AND
+        # the base remainder then become static slices of the ranked
+        # arrays. The former per-class gathers + base-over-all-P layout
+        # paid P*tpg static sort rows for the base even though the classed
+        # gaussians' base slots were always invalid — at the 512^2 bench
+        # scene that was 131k of 1.27M rows, and the instance sort is
+        # data-volume bound (rows x passes), so dead rows are real ms.
+        rg = lambda a: a[ranked]  # noqa: E731
+        x0, y0, rw, rh, valid = rg(x0), rg(y0), rg(rw), rg(rh), rg(valid)
+        depth_bits = rg(depth_bits)
+        gids_r = ranked
+        cp = tuple(rg(a) for a in cp) if cp is not None else None
+        pay = tuple(rg(p) for p in pay)
+
         parts = []
         lids = []
         emitted = jnp.zeros((), need.dtype)
@@ -482,7 +496,7 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
             count = min(int(count), P - start)
             if count <= 0:
                 break
-            ids = ranked[start:start + count]
+            s = slice(start, start + count)
             if ci < settings.vmem_classes:
                 # VMEM-resident class: instance ids remapped to P + rank so
                 # the blend kernel serves these rows from its (L, 128) VMEM
@@ -491,23 +505,24 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
                 # backward's RMW gradient accumulation.
                 gid_dup = (P + start
                            + jnp.arange(count, dtype=jnp.int32))
-                lids.append(ids)
+                lids.append(gids_r[s])
             else:
-                gid_dup = ids
-            base_valid = base_valid.at[ids].set(False)
-            sel = lambda a, ids=ids: a[ids]  # noqa: E731
-            cp_c = tuple(sel(a) for a in cp) if cp is not None else None
+                gid_dup = gids_r[s]
+            cp_c = tuple(a[s] for a in cp) if cp is not None else None
             parts.append(duplicate(
-                sel(x0), sel(y0), sel(rw), sel(rh), sel(valid), gid_dup,
-                sel(depth_bits), int(cap), cp_c, tuple(sel(p) for p in pay),
+                x0[s], y0[s], rw[s], rh[s], valid[s], gid_dup,
+                depth_bits[s], int(cap), cp_c, tuple(p[s] for p in pay),
             ))
             emitted = emitted + jnp.sum(jnp.where(
-                sel(valid), _capped_emit(sel(rw), sel(rh), int(cap)), 0))
+                valid[s], _capped_emit(rw[s], rh[s], int(cap)), 0))
             start += count
+        s = slice(start, P)
+        cp_b = tuple(a[s] for a in cp) if cp is not None else None
         parts.append(duplicate(
-            x0, y0, rw, rh, base_valid, gids0, depth_bits, tpg, cp, pay))
+            x0[s], y0[s], rw[s], rh[s], valid[s], gids_r[s], depth_bits[s],
+            tpg, cp_b, tuple(p[s] for p in pay)))
         emitted = emitted + jnp.sum(
-            jnp.where(base_valid, _capped_emit(rw, rh, tpg), 0))
+            jnp.where(valid[s], _capped_emit(rw[s], rh[s], tpg), 0))
 
         tile_flat = jnp.concatenate([p[0] for p in parts])
         gid_flat = jnp.concatenate([p[1] for p in parts])

@@ -222,8 +222,9 @@ def test_multiclass_truncation_counter_and_rows(stress_scene):
         tile=16, chunk=8, max_tiles_per_gaussian=2,
         size_classes=((16, 64), (48, 24), (96, 8))))
     assert ntr == 0, f"ladder should be truncation-free, lost {ntr}"
-    # static rows: P*2 + 16*64 + 48*24 + 96*8 = 1200+1024+1152+768
-    assert rows == P * 2 + 16 * 64 + 48 * 24 + 96 * 8
+    # static rows: classed gaussians leave the base slice entirely
+    # (ranked-slice binning), so the base contributes (P - classed)*tpg
+    assert rows == (P - 16 - 48 - 96) * 2 + 16 * 64 + 48 * 24 + 96 * 8
 
     nv2, ntr2, _ = count(RasterizeSettings(
         tile=16, chunk=8, max_tiles_per_gaussian=2,

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--skip-counts", action="store_true")
     ap.add_argument("--stages", action="store_true",
                     help="also time prep (project+bin+pack) and rasterize")
+    ap.add_argument("--stages3", action="store_true",
+                    help="composed-cost experiments (blend-in-context)")
+    ap.add_argument("--cache", action="store_true",
+                    help="cache the deformed frame-0 gaussians in /tmp")
     args = ap.parse_args()
 
     from guava_renderer_tpu.utils.platform import pin_platform
@@ -51,9 +55,41 @@ def main():
     from guava_renderer_tpu.ops.gsplat_project import project_gaussians
 
     t0 = time.time()
-    sc = make_bench_scene()
-    gs = frame0_gaussians(sc)
-    print(f"[ee] scene {time.time()-t0:.0f}s", flush=True)
+    cache = "/tmp/ee_scene_cache.npz"
+    if args.cache and os.path.exists(cache):
+        z = np.load(cache)
+        from guava_renderer_tpu.core.cameras import Camera
+
+        class _GS:
+            xyz = jnp.asarray(z["xyz"])[None]
+            colors = jnp.asarray(z["colors"])[None]
+            opacity = jnp.asarray(z["opacity"])[None]
+            scaling = jnp.asarray(z["scaling"])[None]
+            rotation = jnp.asarray(z["rotation"])[None]
+
+        class _SC:
+            size = int(z["size"])
+            cam = Camera(R=jnp.asarray(z["R"]), t=jnp.asarray(z["t"]),
+                         tanfovx=jnp.asarray(z["tanfovx"]),
+                         tanfovy=jnp.asarray(z["tanfovy"]),
+                         width=int(z["size"]), height=int(z["size"]))
+
+        gs, sc = _GS, _SC
+        print(f"[ee] scene (cached) {time.time()-t0:.0f}s", flush=True)
+    else:
+        sc_ = make_bench_scene()
+        gs = frame0_gaussians(sc_)
+        sc = sc_
+        if args.cache:
+            np.savez(cache, xyz=np.asarray(gs.xyz[0]),
+                     colors=np.asarray(gs.colors[0]),
+                     opacity=np.asarray(gs.opacity[0]),
+                     scaling=np.asarray(gs.scaling[0]),
+                     rotation=np.asarray(gs.rotation[0]),
+                     R=np.asarray(sc_.cam.R), t=np.asarray(sc_.cam.t),
+                     tanfovx=np.asarray(sc_.cam.tanfovx),
+                     tanfovy=np.asarray(sc_.cam.tanfovy), size=sc_.size)
+        print(f"[ee] scene {time.time()-t0:.0f}s", flush=True)
 
     st = RasterizeSettings(
         tile=32, chunk=32, max_tiles_per_gaussian=2,
@@ -126,6 +162,62 @@ def main():
         print(f"[ee] prep(project+bin+pack): {min(reps):.2f} ms/frame "
               f"(reps {[f'{x:.2f}' for x in reps]})", flush=True)
 
+        # prep with the instance sort CONSUMED (the plain prep loop only
+        # reads table[0,0]+num_valid, so XLA dead-code-eliminates the big
+        # static-row sort entirely — prep_sorted minus prep = sort cost)
+        def prep_sorted_loop(xyz, colors, opac, scales, rots):
+            def body(i, acc):
+                r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                                          scales, rots)
+                return (acc + t_[0, 0] * 0.0 + jnp.float32(nv_)
+                        + jnp.float32(jnp.sum(r_)) + jnp.float32(o_[0]))
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+
+        f = jax.jit(prep_sorted_loop)
+        v = jax.block_until_ready(f(*a))
+        reps = []
+        for _ in range(3):
+            ts = time.time()
+            v = jax.block_until_ready(f(*a))
+            reps.append((time.time() - ts) / args.iters * 1e3)
+        print(f"[ee] prep+sort consumed: {min(reps):.2f} ms/frame "
+              f"(reps {[f'{x:.2f}' for x in reps]})", flush=True)
+
+        # prep + blend composed (everything in rasterize except the final
+        # tiled->image relayout and the radius/invdepth outputs)
+        from guava_renderer_tpu.ops.gsplat import _tiled_to_image
+
+        def composed_loop(relayout):
+            def run(xyz, colors, opac, scales, rots):
+                def body(i, acc):
+                    r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                                              scales, rots)
+                    G = 32
+                    pad = ((o_.shape[0] + G - 1) // G + 1) * G - o_.shape[0]
+                    o_ = jnp.concatenate([o_, jnp.zeros((pad,), o_.dtype)])
+                    out, tt = blend_tiles(t_, o_, r_, bg, sc.size, sc.size,
+                                          32, 32, 1, 1)
+                    if relayout:
+                        img = _tiled_to_image(out, sc.size, sc.size, 32)
+                        return acc + img[0, 0, 0] * 0.0 + jnp.sum(img[:, :, 0])
+                    return acc + out[0, 0, 0, 0] * 0.0 + jnp.sum(
+                        out[:, :, 0, :1])
+                return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+            return run
+
+        for relayout in (False, True):
+            f = jax.jit(composed_loop(relayout))
+            v = jax.block_until_ready(f(*a))
+            reps = []
+            for _ in range(3):
+                ts = time.time()
+                v = jax.block_until_ready(f(*a))
+                reps.append((time.time() - ts) / args.iters * 1e3)
+            tag = "composed+img" if relayout else "composed"
+            print(f"[ee] {tag} (prep+blend{'+relayout' if relayout else ''}): "
+                  f"{min(reps):.2f} ms/frame "
+                  f"(reps {[f'{x:.2f}' for x in reps]})", flush=True)
+
         def full_loop(xyz, colors, opac, scales, rots):
             def body(i, acc):
                 c, r, iv = rasterize(xyz + acc * 0.0, colors, opac, scales,
@@ -144,6 +236,84 @@ def main():
             reps.append((time.time() - ts) / args.iters * 1e3)
         print(f"[ee] rasterize full: {min(reps):.2f} ms/frame "
               f"(reps {[f'{x:.2f}' for x in reps]})", flush=True)
+
+    if args.stages3:
+        # Discriminate WHY blend-in-context costs ~15 ms when the
+        # standalone blend (same data, inputs as jit arguments) is 4.5:
+        #   hoisted  — prep loop-invariant, blend per-iteration: isolates
+        #              "blend reading XLA-produced buffers" from
+        #              per-iteration prep cost.
+        #   argblend — per-iteration prep (outputs consumed) + blend on
+        #              the ARGUMENT table/order/ranges: prep+blend with no
+        #              producer->consumer edge. Expect prep_sorted + 4.5.
+        #   barrier  — composed with optimization_barrier between prep
+        #              outputs and blend inputs (blocks producer fusions).
+        from guava_renderer_tpu.ops.gsplat import _tiled_to_image  # noqa
+
+        op32 = padded(order, 32)
+
+        def timeit(name, f, *fargs):
+            tc = time.time()
+            v = jax.block_until_ready(f(*fargs))
+            tc = time.time() - tc
+            reps = []
+            for _ in range(3):
+                ts = time.time()
+                v = jax.block_until_ready(f(*fargs))
+                reps.append((time.time() - ts) / args.iters * 1e3)
+            print(f"[ee] {name}: {min(reps):.2f} ms/frame "
+                  f"(reps {[f'{x:.2f}' for x in reps]}, compile {tc:.0f}s, "
+                  f"acc={float(v):.1f})", flush=True)
+
+        def hoisted(xyz, colors, opac, scales, rots):
+            r_, o_, t_, nv_, _ = prep(xyz, colors, opac, scales, rots)
+            G = 32
+            pad = ((o_.shape[0] + G - 1) // G + 1) * G - o_.shape[0]
+            o_ = jnp.concatenate([o_, jnp.zeros((pad,), o_.dtype)])
+
+            def body(i, carry):
+                acc, b = carry
+                out, tt = blend_tiles(t_, o_, r_, b, sc.size, sc.size,
+                                      32, 32, 1, 1)
+                s = out[0, 0, 0, 0] * 0.0
+                return acc + jnp.sum(out[:, :, 0, :1]), bg + s
+            acc, _ = jax.lax.fori_loop(0, args.iters, body,
+                                       (jnp.float32(0), bg))
+            return acc
+        timeit("hoisted (prep once, blend xN)", jax.jit(hoisted),
+               gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+               gs.rotation[0])
+
+        def argblend(xyz, colors, opac, scales, rots, t_, o_, r_):
+            def body(i, acc):
+                rr, oo, tt_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                                           scales, rots)
+                out, _tt = blend_tiles(t_, o_, r_, bg + acc * 0.0, sc.size,
+                                       sc.size, 32, 32, 1, 1)
+                return (acc + jnp.sum(out[:, :, 0, :1]) * 1e-9
+                        + tt_[0, 0] * 0.0 + jnp.float32(nv_)
+                        + jnp.float32(jnp.sum(rr)) + jnp.float32(oo[0]))
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        timeit("argblend (prep xN + blend-on-args xN)", jax.jit(argblend),
+               gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+               gs.rotation[0], table, op32, ranges)
+
+        def barrier(xyz, colors, opac, scales, rots):
+            def body(i, acc):
+                r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                                          scales, rots)
+                G = 32
+                pad = ((o_.shape[0] + G - 1) // G + 1) * G - o_.shape[0]
+                o_ = jnp.concatenate([o_, jnp.zeros((pad,), o_.dtype)])
+                t_, o_, r_ = jax.lax.optimization_barrier((t_, o_, r_))
+                out, tt = blend_tiles(t_, o_, r_, bg, sc.size, sc.size,
+                                      32, 32, 1, 1)
+                return acc + out[0, 0, 0, 0] * 0.0 + jnp.sum(
+                    out[:, :, 0, :1])
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        timeit("barrier (composed + opt-barrier)", jax.jit(barrier),
+               gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+               gs.rotation[0])
 
     for spec in args.variants.split(","):
         ee, ch = (int(x) for x in spec.split(":"))
