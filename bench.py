@@ -86,7 +86,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               dma_banks: int = 1, face_plan: bool = False,
               presort: bool = True, tile_cull: bool = True,
               streaming: bool = False, stats_only: bool = False,
-              size_classes: tuple = (), vmem_classes: int = 0) -> dict:
+              size_classes: tuple = (), vmem_classes: int = 0,
+              priority_window: int = 16) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -118,7 +119,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
                                  dma_banks=dma_banks, presort=presort,
                                  tile_cull=tile_cull, streaming=streaming,
                                  size_classes=size_classes,
-                                 vmem_classes=vmem_classes)
+                                 vmem_classes=vmem_classes,
+                                 priority_window=priority_window)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -403,6 +405,12 @@ def main():
     ap.add_argument("--vmem-classes", type=int, default=0,
                     help="keep the first N size classes VMEM-resident in "
                          "the blend kernel (no row DMA for classed ids)")
+    ap.add_argument("--priority-window", type=int, default=-1,
+                    help="priority-duplication window (see RasterizeSettings"
+                         ".priority_window); -1 = 0 when a size-class "
+                         "ladder is set (zero-truncation: row-major is "
+                         "identical and skips the per-row qmin sorts), "
+                         "16 otherwise")
     ap.add_argument("--size-classes",
                     default="256:256,3840:64,28672:16,32768:4",
                     help="multi-class cap ladder 'count:cap,count:cap,...' "
@@ -460,6 +468,8 @@ def main():
         tuple(int(v) for v in pair.split(":"))
         for pair in args.size_classes.split(",") if pair
     )
+    if args.priority_window < 0:
+        args.priority_window = 0 if size_classes else 16
 
     from guava_renderer_tpu.utils.platform import probe_backend_retry
 
@@ -491,6 +501,7 @@ def main():
                 presort=args.presort, tile_cull=args.tile_cull,
                 streaming=args.streaming, stats_only=args.stats_only,
                 size_classes=size_classes, vmem_classes=args.vmem_classes,
+                priority_window=args.priority_window,
             )
             break
         except Exception:
@@ -524,6 +535,7 @@ def main():
         "vmem_classes": args.vmem_classes,
         "presort": args.presort, "tile_cull": args.tile_cull,
         "streaming": args.streaming,
+        "priority_window": args.priority_window,
     }
     extra["raster_settings"] = run_raster
     try:

@@ -129,6 +129,17 @@ class RasterizeSettings(NamedTuple):
     streaming: bool = False
     scale_modifier: float = 1.0
     antialiasing: bool = False
+    # Priority-duplication window: when a splat's tile rect has more tiles
+    # than its duplication cap, enumerate up to this many rect tiles and
+    # keep the `cap` strongest by analytic max-alpha (_dup_tiles). 0 skips
+    # the per-row (n, window) qmin sort entirely and enumerates the first
+    # `cap` rect tiles row-major with the cull applied in place — for a
+    # zero-truncation cap ladder (cap >= rect area by construction, see
+    # tools/ladder_fit.py) the kept instance set is IDENTICAL, and the
+    # duplication stage drops ~3M slot-qmin evaluations + per-row sorts at
+    # the 512^2 bench scene. Leave >0 only for truncating configs, where
+    # priority selection cuts the fringe instead of whole rect rows.
+    priority_window: int = 16
     # Early-exit cadence for the forward blend: check the all-pixels-
     # saturated flag every `exit_every` chunks (0 disables the check).
     # The flag is a vector->scalar reduce feeding the while-loop condition
@@ -168,7 +179,8 @@ def _cull_qcut(conic, alpha):
     return jnp.where(psd, qcut, jnp.inf)
 
 
-def _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx, num_tiles):
+def _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx, num_tiles,
+               window=16):
     """Per-gaussian rect -> (n, cap) tile ids (num_tiles = invalid slot).
 
     Without cull params: the first `cap` rect tiles row-major (the original
@@ -180,7 +192,8 @@ def _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx, num_tiles):
     tile (a 3x3 rect at cap 2 emits two corner tiles); priority selection
     makes the cap cut the fringe instead, and subsumes the cull (tiles
     below the 1/255 floor sort to +inf and come out invalid)."""
-    rm_cap = cap if cp_ is None else max(2 * cap, min(16, num_tiles))
+    rm_cap = cap if (cp_ is None or not window) else max(
+        2 * cap, min(window, num_tiles))
     rw_c = jnp.minimum(rw_, rm_cap)
     rh_c = jnp.minimum(rh_, (rm_cap + rw_c - 1) // jnp.maximum(rw_c, 1))
     d = jnp.arange(rm_cap, dtype=jnp.int32)
@@ -193,8 +206,14 @@ def _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx, num_tiles):
         return jnp.where(in_rect, ty * gx + tx, num_tiles).astype(jnp.int32)
     mx, my, ca, cb, cc, qcut = cp_
     qmin = _slot_qmin(tx, ty, mx, my, ca, cb, cc, tile)
-    key = jnp.where(in_rect & (qmin <= qcut[:, None]), qmin, jnp.inf)
+    keep = in_rect & (qmin <= qcut[:, None])
     tid = (ty * gx + tx).astype(jnp.int32)
+    if rm_cap == cap:
+        # window=0: no priority selection — the first `cap` rect tiles
+        # row-major, culled in place. Identical instance set whenever the
+        # rect fits the cap (zero-truncation ladders guarantee it).
+        return jnp.where(keep, tid, num_tiles).astype(jnp.int32)
+    key = jnp.where(keep, qmin, jnp.inf)
     key_s, tid_s = jax.lax.sort((key, tid), dimension=1, num_keys=1)
     key_s = key_s[:, :cap]
     tid_s = tid_s[:, :cap]
@@ -294,7 +313,7 @@ def bin_gaussians(
     def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, depth_, cap, cp_):
         n = x0_.shape[0]
         tid = _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx,
-                         num_tiles)
+                         num_tiles, settings.priority_window)
         gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
         depth_b = jnp.broadcast_to(depth_[:, None], (n, cap))
         return tid.reshape(-1), gid_b.reshape(-1), depth_b.reshape(-1)
@@ -448,7 +467,7 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
     def duplicate(x0_, y0_, rw_, rh_, valid_, gid_, dkey_, cap, cp_, pay_):
         n = x0_.shape[0]
         tid = _dup_tiles(x0_, y0_, rw_, rh_, valid_, cap, cp_, tile, gx,
-                         num_tiles)
+                         num_tiles, settings.priority_window)
         gid_b = jnp.broadcast_to(gid_[:, None], (n, cap))
         dkey_b = jnp.broadcast_to(dkey_[:, None], (n, cap))
         pay_b = tuple(

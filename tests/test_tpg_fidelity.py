@@ -275,3 +275,21 @@ def test_vmem_classes_matches_dma_path(stress_scene):
                             ("means", "colors", "opac", "scales", "quats")):
         np.testing.assert_allclose(np.asarray(gv), np.asarray(gd),
                                    rtol=1e-6, atol=1e-7, err_msg=name)
+
+
+def test_priority_window_zero_matches_priority_on_exact_ladder(stress_scene):
+    """priority_window=0 (row-major dup, no per-row qmin sorts) renders the
+    IDENTICAL image when the cap ladder is zero-truncation: every rect fits
+    its cap, so the kept (gaussian, tile) instance set is the same — only
+    the enumeration order differs, which the instance sort re-orders
+    identically (ops/gsplat.py:_dup_tiles window=0 fast path)."""
+    args, cam, bg, ref = stress_scene
+    base = RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=2,
+                             size_classes=((16, 64), (48, 24), (96, 8)))
+    out_p, _, _ = jax.jit(lambda *a: rasterize(
+        *a, cam, bg, base._replace(priority_window=16)))(*args)
+    out_rm, _, _ = jax.jit(lambda *a: rasterize(
+        *a, cam, bg, base._replace(priority_window=0)))(*args)
+    np.testing.assert_allclose(np.asarray(out_rm), np.asarray(out_p),
+                               atol=2e-5)
+    assert _psnr(np.asarray(out_rm), ref) > 60.0

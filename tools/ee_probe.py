@@ -37,8 +37,16 @@ def main():
                     help="also time prep (project+bin+pack) and rasterize")
     ap.add_argument("--stages3", action="store_true",
                     help="composed-cost experiments (blend-in-context)")
+    ap.add_argument("--stages4", action="store_true",
+                    help="discriminate DCE-lied-prep vs blend-slowed-in-"
+                         "context (see stage comments)")
+    ap.add_argument("--stages5", action="store_true",
+                    help="isolate the (P,128) table materialization cost "
+                         "and candidate constructions")
     ap.add_argument("--cache", action="store_true",
                     help="cache the deformed frame-0 gaussians in /tmp")
+    ap.add_argument("--priority-window", type=int, default=16,
+                    help="RasterizeSettings.priority_window for the probe")
     args = ap.parse_args()
 
     from guava_renderer_tpu.utils.platform import pin_platform
@@ -95,7 +103,8 @@ def main():
         tile=32, chunk=32, max_tiles_per_gaussian=2,
         size_classes=tuple(tuple(p) for p in
                            ((256, 256), (3840, 64), (28672, 16), (32768, 4))),
-        presort=True, tile_cull=True)
+        presort=True, tile_cull=True,
+        priority_window=args.priority_window)
 
     @jax.jit
     def prep(xyz, colors, opac, scales, rots):
@@ -315,7 +324,196 @@ def main():
                gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
                gs.rotation[0])
 
+    if args.stages4:
+        # The stages3 numbers left an ambiguity: composed (28 ms) exceeds
+        # prep_sorted (12.7) + standalone blend (4.6) by ~11 ms. Either
+        #   (a) prep_sorted was partially DCE'd (it consumed only
+        #       table[0,0] + sum(ranges) + order[0], so XLA could prune
+        #       whole sort payload operands / table columns), or
+        #   (b) the blend kernel itself runs slower in a program that also
+        #       contains prep (e.g. the early exit not firing in context).
+        # Four discriminators:
+        #   prep_full      — prep with EVERY output fully consumed
+        #                    (sum(table), sum(order), sum(ranges), nv):
+        #                    the true prep cost, no DCE escape hatch.
+        #   composed ee0   — composed loop, exit_every=0. If this matches
+        #                    the ee1 composed time, the early exit buys
+        #                    nothing in context (supports (b)); if it is
+        #                    ~14 ms slower (the standalone ee0-ee1 delta),
+        #                    the exit works and (a) holds.
+        #   twoloop        — ONE jit: loop A (prep_full xN) then loop B
+        #                    (blend xN on args). Additivity check with
+        #                    zero producer->consumer edges.
+        #   ccounts        — blend_probe composed after prep in one jit:
+        #                    ground-truth chunks-run in context.
+        op32 = padded(order, 32)
+
+        def timeit4(name, f, *fargs):
+            tc = time.time()
+            v = jax.block_until_ready(f(*fargs))
+            tc = time.time() - tc
+            reps = []
+            for _ in range(3):
+                ts = time.time()
+                v = jax.block_until_ready(f(*fargs))
+                reps.append((time.time() - ts) / args.iters * 1e3)
+            print(f"[ee] {name}: {min(reps):.2f} ms/frame "
+                  f"(reps {[f'{x:.2f}' for x in reps]}, compile {tc:.0f}s, "
+                  f"acc={float(v):.1f})", flush=True)
+
+        def prep_full(xyz, colors, opac, scales, rots):
+            def body(i, acc):
+                r_, o_, t_, nv_, _ = prep(xyz + acc * 1e-30, colors, opac,
+                                          scales, rots)
+                return (acc + jnp.sum(t_) * 1e-9 + jnp.float32(nv_)
+                        + jnp.float32(jnp.sum(r_)) * 1e-6
+                        + jnp.float32(jnp.sum(o_)) * 1e-9)
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        timeit4("prep_full (all outputs consumed)", jax.jit(prep_full),
+                gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+                gs.rotation[0])
+
+        def composed_ee(ee):
+            def run(xyz, colors, opac, scales, rots):
+                def body(i, acc):
+                    r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors,
+                                              opac, scales, rots)
+                    G = 32
+                    pad = ((o_.shape[0] + G - 1) // G + 1) * G - o_.shape[0]
+                    o_ = jnp.concatenate([o_, jnp.zeros((pad,), o_.dtype)])
+                    out, tt = blend_tiles(t_, o_, r_, bg, sc.size, sc.size,
+                                          32, 32, 1, ee)
+                    return acc + out[0, 0, 0, 0] * 0.0 + jnp.sum(
+                        out[:, :, 0, :1])
+                return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+            return run
+        for ee in (1, 0):
+            timeit4(f"composed ee={ee}", jax.jit(composed_ee(ee)),
+                    gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+                    gs.rotation[0])
+
+        def twoloop(xyz, colors, opac, scales, rots, t_, o_, r_):
+            def bodyA(i, acc):
+                rr, oo, tt_, nv_, _ = prep(xyz + acc * 1e-30, colors, opac,
+                                           scales, rots)
+                return (acc + jnp.sum(tt_) * 1e-9 + jnp.float32(nv_)
+                        + jnp.float32(jnp.sum(rr)) * 1e-6
+                        + jnp.float32(jnp.sum(oo)) * 1e-9)
+            accA = jax.lax.fori_loop(0, args.iters, bodyA, jnp.float32(0))
+
+            def bodyB(i, carry):
+                acc, b = carry
+                out, tt = blend_tiles(t_, o_, r_, b, sc.size, sc.size,
+                                      32, 32, 1, 1)
+                s = out[0, 0, 0, 0] * 0.0
+                return acc + jnp.sum(out[:, :, 0, :1]), bg + s
+            accB, _ = jax.lax.fori_loop(
+                0, args.iters, bodyB, (accA * 1e-9, bg + accA * 0.0))
+            return accB
+        timeit4("twoloop (prep_full xN; then blend xN)", jax.jit(twoloop),
+                gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+                gs.rotation[0], table, op32, ranges)
+
+        @jax.jit
+        def ccounts(xyz, colors, opac, scales, rots):
+            r_, o_, t_, nv_, _ = prep(xyz, colors, opac, scales, rots)
+            G = 32
+            pad = ((o_.shape[0] + G - 1) // G + 1) * G - o_.shape[0]
+            o_ = jnp.concatenate([o_, jnp.zeros((pad,), o_.dtype)])
+            out, tt, cnt = blend_probe(t_, o_, r_, bg, sc.size, sc.size,
+                                       32, 32, 1, 1)
+            return out, r_, cnt
+        out, r_, cnt = jax.block_until_ready(ccounts(
+            gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+            gs.rotation[0]))
+        cnt = np.asarray(cnt)[:, :, 0, 0]
+        r = np.asarray(r_)
+        nch = np.ceil((r[1:] - r[:-1]) / 32).astype(np.int64)
+        print(f"[ee] composed counts: run={int(cnt.sum())} "
+              f"of {int(nch.sum())} ({cnt.sum()/max(nch.sum(),1):.1%}) "
+              f"checksum={float(np.asarray(out).sum()):.1f}", flush=True)
+
+    if args.stages5:
+        # stages4 verdict: prep_full=20.9 ms, twoloop additive, composed
+        # +7.7 ms over additive, and a mere optimization_barrier COPY of
+        # the prep outputs cost +4.9 ms (stages3) — ~20x a bandwidth-bound
+        # (P,128) copy. Suspect: XLA materializes/relayouts the minor-dim
+        # concat table pathologically. Measure constructions in isolation
+        # (all on ARG pieces, consumed via barrier + [0,0] probe):
+        P = gs.xyz[0].shape[0]
+        cols = {
+            "m2": jnp.asarray(table[:, 0]),
+            "cy": jnp.asarray(table[:, 1]),
+            "ca": jnp.asarray(table[:, 2]),
+            "cb": jnp.asarray(table[:, 3]),
+            "cc": jnp.asarray(table[:, 4]),
+            "al": jnp.asarray(table[:, 5]),
+            "iv": jnp.asarray(table[:, _GEOM + NUM_CHANNELS]),
+        }
+        colors32 = jnp.asarray(table[:, _GEOM:_GEOM + NUM_CHANNELS])
+
+        def timeit5(name, f, *fargs):
+            tc = time.time()
+            v = jax.block_until_ready(f(*fargs))
+            tc = time.time() - tc
+            reps = []
+            for _ in range(3):
+                ts = time.time()
+                v = jax.block_until_ready(f(*fargs))
+                reps.append((time.time() - ts) / args.iters * 1e3)
+            print(f"[ee] {name}: {min(reps):.2f} ms/frame "
+                  f"(reps {[f'{x:.2f}' for x in reps]}, compile {tc:.0f}s, "
+                  f"acc={float(v):.1f})", flush=True)
+
+        def concat_loop(mx, cy, ca, cb, cc, al, colors_, iv):
+            def body(i, acc):
+                z2 = jnp.zeros((P, 2), jnp.float32)
+                tail = jnp.zeros((P, _PK - _GEOM - NUM_CHANNELS - 1),
+                                 jnp.float32)
+                t_ = jnp.concatenate(
+                    [jnp.stack([mx + acc * 1e-30, cy, ca, cb, cc, al],
+                               axis=1), z2, colors_, iv[:, None], tail],
+                    axis=-1)
+                t_ = jax.lax.optimization_barrier(t_)
+                return acc + t_[0, 0] + t_[12345, 50] * 1e-6
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        timeit5("concat+barrier (table materialization)",
+                jax.jit(concat_loop), cols["m2"], cols["cy"], cols["ca"],
+                cols["cb"], cols["cc"], cols["al"], colors32, cols["iv"])
+
+        def pad_table_loop(colors_, mx):
+            # colors-as-base: pad the WIDE contiguous piece and overwrite
+            # the narrow lanes via dynamic_update_slice
+            def body(i, acc):
+                t_ = jnp.pad(colors_, ((0, 0), (_GEOM, _PK - _GEOM
+                                                - NUM_CHANNELS)))
+                t_ = jax.lax.dynamic_update_slice(
+                    t_, (mx + acc * 1e-30)[:, None], (0, 0))
+                t_ = jax.lax.optimization_barrier(t_)
+                return acc + t_[0, 0] + t_[12345, 50] * 1e-6
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        timeit5("pad+dus (colors-base table)", jax.jit(pad_table_loop),
+                colors32, cols["m2"])
+
+        def copy_loop(t_in):
+            def body(i, acc):
+                t_ = jax.lax.optimization_barrier(t_in + acc * 1e-30)
+                return acc + t_[0, 0] + t_[12345, 50] * 1e-6
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        timeit5("plain (P,128) copy+barrier", jax.jit(copy_loop), table)
+
+        def order_loop(o_flat):
+            def body(i, acc):
+                o_ = jnp.concatenate([o_flat + (acc * 0).astype(jnp.int32),
+                                      jnp.zeros((32,), o_flat.dtype)])
+                o2 = jax.lax.optimization_barrier(o_)
+                return acc + jnp.float32(o2[0]) + jnp.float32(o2[12345])
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        timeit5("order pad+barrier", jax.jit(order_loop), order)
+
     for spec in args.variants.split(","):
+        if not spec:
+            continue
         ee, ch = (int(x) for x in spec.split(":"))
         op = padded(order, ch)
 

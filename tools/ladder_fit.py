@@ -71,6 +71,14 @@ def main():
     ap.add_argument("--maxk", type=int, default=10)
     ap.add_argument("--pad8", action="store_true",
                     help="round class counts up to multiples of 8")
+    ap.add_argument("--margin", type=float, default=1.0,
+                    help="scale every class cap by this factor (safety "
+                         "headroom for poses beyond the fitted frames)")
+    ap.add_argument("--frames", type=int, default=1,
+                    help="fit on the per-gaussian envelope (max) of rect "
+                         "areas across the first N bench frames, using "
+                         "bench.py's exact pose sequence (body_pose + "
+                         "0.01*i)")
     args = ap.parse_args()
 
     from guava_renderer_tpu.utils.platform import pin_platform
@@ -84,6 +92,47 @@ def main():
 
     t0 = time.time()
     cache = "/tmp/ee_scene_cache.npz"
+    if args.frames > 1:
+        # per-gaussian envelope of rect areas over bench.py's real frame
+        # poses — a ladder fit on this envelope is zero-truncation for
+        # every frame the bench actually renders, not just frame 0
+        from guava_renderer_tpu.avatar.deformer import deform_with_vertices
+        from guava_renderer_tpu.benchscene import make_bench_scene
+        from guava_renderer_tpu.bodymodel.ehm import ehm_forward
+
+        sc = make_bench_scene()
+        size, cam = sc.size, sc.cam
+        area_env = None
+        valid_any = None
+        for i in range(args.frames):
+            body = sc.base_body._replace(
+                body_pose=sc.base_body.body_pose + 0.01 * i)
+            res = ehm_forward(sc.ehm, body, sc.base_flame)
+            gs = deform_with_vertices(sc.avatar, res.vertices,
+                                      res.vertex_transforms, sc.faces)
+            proj = project_gaussians(gs.xyz[0], gs.scaling[0],
+                                     gs.rotation[0], gs.opacity[0], cam,
+                                     1.0, False)
+            v = np.asarray(proj.valid & (proj.alpha >= ALPHA_MIN))
+            x0, y0, x1, y1 = tile_rect(proj.mean2d, proj.radius_bin, size,
+                                       size, 32)
+            rw, rh = np.asarray(x1 - x0), np.asarray(y1 - y0)
+            v = v & (rw > 0) & (rh > 0)
+            a = np.where(v, rw * rh, 0).astype(np.int64)
+            area_env = a if area_env is None else np.maximum(area_env, a)
+            valid_any = v if valid_any is None else (valid_any | v)
+            print(f"[ladder] frame {i}: valid={int(v.sum())} "
+                  f"max_area={int(a.max())} ({time.time()-t0:.0f}s)",
+                  flush=True)
+        area = area_env
+        valid = valid_any
+        P = area.shape[0]
+        a_desc = np.sort(area)[::-1]
+        print(f"[ladder] ENVELOPE over {args.frames} frames: P={P} "
+              f"valid={int(valid.sum())} "
+              f"potential_instances={int(area.sum())}")
+        _fit_and_print(args, np, area, valid, P, a_desc)
+        return
     if os.path.exists(cache):
         from guava_renderer_tpu.core.cameras import Camera
         z = np.load(cache)
@@ -114,7 +163,7 @@ def main():
                                size, 32)
     rw = np.asarray(x1 - x0)
     rh = np.asarray(y1 - y0)
-    valid &= (rw > 0) & (rh > 0)
+    valid = valid & (rw > 0) & (rh > 0)
     area = np.where(valid, rw * rh, 0).astype(np.int64)
     P = area.shape[0]
     a_desc = np.sort(area)[::-1]
@@ -124,15 +173,23 @@ def main():
         if r < P:
             print(f"[ladder] area at rank {r}: {int(a_desc[r])}")
 
+    _fit_and_print(args, np, area, valid, P, a_desc)
+
+
+def _fit_and_print(args, np, area, valid, P, a_desc):
+    import math
+
     vals, cnts = np.unique(area[area > 0], return_counts=True)
-    vals = vals[::-1].tolist()          # descending
+    m = args.margin
+    # DP cost uses the margin-scaled caps the deployed ladder would carry
+    vals = [int(math.ceil(v * m)) for v in vals[::-1].tolist()]  # descending
     cnts = cnts[::-1].tolist()
     # gaussians with area == 0 (invalid) need no class rows but sit in the
     # ranked tail; the base slice covers them with the last cap (their
     # slots all emit invalid). Keep them in the final class's count.
     n_zero = int((area == 0).sum())
     print(f"[ladder] distinct areas={len(vals)} max={vals[0]} "
-          f"zero-area(invalid)={n_zero}")
+          f"margin={m} zero-area(invalid)={n_zero}")
 
     for K in (4, 6, 8, args.maxk):
         total, ladder = fit_ladder(cnts, vals, K)
@@ -141,7 +198,10 @@ def main():
         # the ranked-slice base covers ranks [start, P) so its static rows
         # include the invalid tail too.
         classes = ladder[:-1]
-        tpg = ladder[-1][1]
+        # base tpg floor 2 when a margin is requested (headroom for the
+        # tail class growing past its fitted area in unfitted poses);
+        # margin 1.0 = the caller wants the exact envelope optimum
+        tpg = ladder[-1][1] if m <= 1.0 else max(2, ladder[-1][1])
         base_n = P - sum(c for c, _ in classes)
         rows = sum(c * v for c, v in classes) + base_n * tpg
         if args.pad8:
