@@ -405,12 +405,12 @@ def main():
     ap.add_argument("--vmem-classes", type=int, default=0,
                     help="keep the first N size classes VMEM-resident in "
                          "the blend kernel (no row DMA for classed ids)")
-    ap.add_argument("--priority-window", type=int, default=-1,
+    ap.add_argument("--priority-window", type=int, default=16,
                     help="priority-duplication window (see RasterizeSettings"
-                         ".priority_window); -1 = 0 when a size-class "
-                         "ladder is set (zero-truncation: row-major is "
-                         "identical and skips the per-row qmin sorts), "
-                         "16 otherwise")
+                         ".priority_window); 0 is image-identical on a "
+                         "zero-truncation ladder but measured SLOWER "
+                         "on-chip (narrow slot arrays waste VPU lanes, "
+                         "ee_stages4_pw0.log)")
     ap.add_argument("--size-classes",
                     default="256:256,3840:64,28672:16,32768:4",
                     help="multi-class cap ladder 'count:cap,count:cap,...' "
@@ -468,8 +468,6 @@ def main():
         tuple(int(v) for v in pair.split(":"))
         for pair in args.size_classes.split(",") if pair
     )
-    if args.priority_window < 0:
-        args.priority_window = 0 if size_classes else 16
 
     from guava_renderer_tpu.utils.platform import probe_backend_retry
 

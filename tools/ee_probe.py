@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--stages5", action="store_true",
                     help="isolate the (P,128) table materialization cost "
                          "and candidate constructions")
+    ap.add_argument("--stages6", action="store_true",
+                    help="grouped two-phase frames (prep xG then blend xG "
+                         "inside one body) — tests whether separating the "
+                         "phases recovers the twoloop additivity")
+    ap.add_argument("--ladder", default="",
+                    help="override the probe's size-class ladder "
+                         "('count:cap,...')")
     ap.add_argument("--cache", action="store_true",
                     help="cache the deformed frame-0 gaussians in /tmp")
     ap.add_argument("--priority-window", type=int, default=16,
@@ -99,12 +106,16 @@ def main():
                      tanfovy=np.asarray(sc_.cam.tanfovy), size=sc_.size)
         print(f"[ee] scene {time.time()-t0:.0f}s", flush=True)
 
+    ladder = ((256, 256), (3840, 64), (28672, 16), (32768, 4))
+    if args.ladder:
+        ladder = tuple(tuple(int(v) for v in pair.split(":"))
+                       for pair in args.ladder.split(",") if pair)
     st = RasterizeSettings(
         tile=32, chunk=32, max_tiles_per_gaussian=2,
-        size_classes=tuple(tuple(p) for p in
-                           ((256, 256), (3840, 64), (28672, 16), (32768, 4))),
+        size_classes=tuple(tuple(p) for p in ladder),
         presort=True, tile_cull=True,
         priority_window=args.priority_window)
+    print(f"[ee] ladder={ladder} pw={args.priority_window}", flush=True)
 
     @jax.jit
     def prep(xyz, colors, opac, scales, rots):
@@ -510,6 +521,74 @@ def main():
                 return acc + jnp.float32(o2[0]) + jnp.float32(o2[12345])
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
         timeit5("order pad+barrier", jax.jit(order_loop), order)
+
+    if args.stages6:
+        # stages3/4: blend interleaved with prep in one loop body costs
+        # ~12.5 ms vs 4.7 standalone, while SEPARATE loops (twoloop) are
+        # additive. If a grouped two-phase structure (prep xG into stacked
+        # HBM buffers, then blend xG) recovers additivity, the real frame
+        # loop can adopt it (G=2 doubles table memory: ~190 MB, fine).
+        G_pad = 32
+        op_len = ((order.shape[0] + G_pad - 1) // G_pad + 1) * G_pad
+        P_rows = table.shape[0]
+
+        def grouped(group):
+            def run(xyz, colors, opac, scales, rots):
+                tbl0 = jnp.zeros((group, P_rows, _PK), jnp.float32)
+                ord0 = jnp.zeros((group, op_len), jnp.int32)
+                rng0 = jnp.zeros((group, ranges.shape[0]), jnp.int32)
+
+                def body(i, acc):
+                    def prep_g(g, carry):
+                        tbl, od, rg = carry
+                        r_, o_, t_, nv_, _ = prep(
+                            xyz + (acc * 0.0 + g.astype(jnp.float32))
+                            * 1e-30, colors, opac, scales, rots)
+                        o_ = jnp.concatenate(
+                            [o_, jnp.zeros((op_len - o_.shape[0],),
+                                           o_.dtype)])
+                        tbl = jax.lax.dynamic_update_slice(
+                            tbl, t_[None], (g, 0, 0))
+                        od = jax.lax.dynamic_update_slice(
+                            od, o_[None], (g, 0))
+                        rg = jax.lax.dynamic_update_slice(
+                            rg, r_[None], (g, 0))
+                        return tbl, od, rg
+                    tbl, od, rg = jax.lax.fori_loop(
+                        0, group, prep_g, (tbl0, ord0, rng0))
+
+                    def blend_g(g, a):
+                        t_ = jax.lax.dynamic_slice(
+                            tbl, (g, 0, 0), (1, P_rows, _PK))[0]
+                        o_ = jax.lax.dynamic_slice(
+                            od, (g, 0), (1, op_len))[0]
+                        r_ = jax.lax.dynamic_slice(
+                            rg, (g, 0), (1, ranges.shape[0]))[0]
+                        out, tt = blend_tiles(t_, o_, r_, bg + a * 0.0,
+                                              sc.size, sc.size, 32, 32,
+                                              1, 1)
+                        return a + jnp.sum(out[:, :, 0, :1])
+                    return jax.lax.fori_loop(0, group, blend_g, acc)
+                n_groups = max(args.iters // group, 1)
+                return jax.lax.fori_loop(0, n_groups, body, jnp.float32(0))
+            return run, max(args.iters // group, 1) * group
+
+        for group in (1, 2, 4):
+            f, nfr = grouped(group)
+            jf = jax.jit(f)
+            a = (gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+                 gs.rotation[0])
+            tc = time.time()
+            v = jax.block_until_ready(jf(*a))
+            tc = time.time() - tc
+            reps = []
+            for _ in range(3):
+                ts = time.time()
+                v = jax.block_until_ready(jf(*a))
+                reps.append((time.time() - ts) / nfr * 1e3)
+            print(f"[ee] grouped G={group}: {min(reps):.2f} ms/frame "
+                  f"(reps {[f'{x:.2f}' for x in reps]}, compile {tc:.0f}s, "
+                  f"acc={float(v):.1f})", flush=True)
 
     for spec in args.variants.split(","):
         if not spec:
