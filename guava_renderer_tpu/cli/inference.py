@@ -23,8 +23,10 @@ import numpy as np
 
 from ..avatar.deformer import deform_avatar
 from ..avatar.inferer import build_avatar
+from ..avatar.renderer import NeuralRefiner
 from ..avatar.state import prune_avatar
 from ..core.cameras import Camera
+from ..models.layers import resize_bilinear
 from ..train.pipeline import _unpack_params
 from ..utils.camera_orbit import generate_novel_view_poses
 from ..utils.logging_utils import SpeedMeter
@@ -162,9 +164,116 @@ class FramePipeline:
                 outputs.invdepth[0],
             )
 
+        def grouped_frames_impl(plan, cfaces, group, rend_params, ehm_arrs,
+                                tables, avatar, tgt_params_g, w2c_g):
+            """Grouped two-phase multi-frame render: prep (deform + project
+            + bin + pack) xG into stacked HBM buffers, THEN blend + refine
+            xG — one device call for G frames. Interleaving prep with the
+            Pallas blend costs ~5 ms/frame over the standalone stage sum
+            on-chip; phase separation recovers the two-loop additivity
+            (outputs/bench/tpu_window_r4c/ee_stages6_newladder.log). Same
+            per-frame math as frame_impl, G frames of latency."""
+            from ..ops.gsplat import (
+                RasterPrep, rasterize_blend, rasterize_prep,
+            )
+
+            ehm_ = ehm_rebuild(ehm_arrs)
+            faces_ = tables[0]
+            renderer = statics.renderer
+            st = renderer.settings
+            bg = jnp.zeros(32, jnp.float32)
+            tanfov = jnp.asarray(1.0 / invtanfov, jnp.float32)
+
+            def prep_one(g):
+                tp = jax.tree_util.tree_map(lambda v: v[g], tgt_params_g)
+                body, flame = _unpack_params(tp)
+                gs = deform_avatar(avatar, ehm_, faces_, body, flame,
+                                   plan=plan, compact_faces=cfaces)
+                w2c = w2c_g[g]
+                cam = Camera(
+                    R=w2c[:3, :3], t=w2c[:3, 3],
+                    tanfovx=tanfov, tanfovy=tanfov,
+                    width=image_size, height=image_size,
+                )
+                return rasterize_prep(
+                    gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+                    gs.rotation[0], cam, st)
+
+            shapes = jax.eval_shape(prep_one, 0)
+            tbl = jnp.zeros((group,) + shapes.table.shape, jnp.float32)
+            od = jnp.zeros((group,) + shapes.order.shape, jnp.int32)
+            rg = jnp.zeros((group,) + shapes.ranges.shape, jnp.int32)
+
+            def prep_g(g, carry):
+                tbl_, od_, rg_ = carry
+                p = prep_one(g)
+                tbl_ = jax.lax.dynamic_update_slice(
+                    tbl_, p.table[None], (g, 0, 0))
+                od_ = jax.lax.dynamic_update_slice(
+                    od_, p.order[None], (g, 0))
+                rg_ = jax.lax.dynamic_update_slice(
+                    rg_, p.ranges[None], (g, 0))
+                return tbl_, od_, rg_
+
+            tbl, od, rg = jax.lax.fori_loop(0, group, prep_g, (tbl, od, rg))
+
+            # refiner tail identical to GaussianRenderer.__call__ (the
+            # neural_refiner param subtree is addressed directly)
+            rsize = renderer.refiner_size or image_size
+            refiner = NeuralRefiner(
+                refiner_type=renderer.refiner_type,
+                image_size=rsize,
+                channel_scale=renderer.channel_scale,
+                small=renderer.small,
+                style_dim=renderer.style_dim,
+                num_mlp=renderer.num_mlp,
+            )
+
+            def refine(feats):
+                x = feats
+                if rsize != image_size:
+                    x = resize_bilinear(x, (rsize, rsize))
+                if renderer.refiner_dtype is not None:
+                    x = x.astype(renderer.refiner_dtype)
+                r = refiner.apply(
+                    {"params": rend_params["neural_refiner"]}, x)
+                r = r.astype(jnp.float32)
+                if rsize != image_size:
+                    r = resize_bilinear(r, (image_size, image_size))
+                return r
+
+            rends = jnp.zeros((group, image_size, image_size, 3))
+            raws = jnp.zeros((group, image_size, image_size, 3))
+            invds = jnp.zeros((group, image_size, image_size))
+
+            def blend_g(g, outs):
+                rends_, raws_, invds_ = outs
+                t_ = jax.lax.dynamic_slice(
+                    tbl, (g, 0, 0), (1,) + shapes.table.shape)[0]
+                o_ = jax.lax.dynamic_slice(
+                    od, (g, 0), (1,) + shapes.order.shape)[0]
+                r_ = jax.lax.dynamic_slice(
+                    rg, (g, 0), (1,) + shapes.ranges.shape)[0]
+                color, invd = rasterize_blend(
+                    RasterPrep(t_, o_, r_, None), bg, image_size,
+                    image_size, st, channels_first=False)
+                img = refine(color[None])[0]
+                rends_ = jax.lax.dynamic_update_slice(
+                    rends_, jnp.clip(img, 0, 1)[None], (g, 0, 0, 0))
+                raws_ = jax.lax.dynamic_update_slice(
+                    raws_, jnp.clip(color[:, :, :3], 0, 1)[None],
+                    (g, 0, 0, 0))
+                invds_ = jax.lax.dynamic_update_slice(
+                    invds_, invd[:, :, 0][None], (g, 0, 0))
+                return rends_, raws_, invds_
+
+            return jax.lax.fori_loop(0, group, blend_g, (rends, raws, invds))
+
         self._infer = jax.jit(infer_impl)
         self._frame = jax.jit(frame_impl)
         self._planned_frame_impl = planned_frame_impl
+        self._grouped_frames_impl = grouped_frames_impl
+        self._grouped_fns: dict = {}
         self._planned_frames: dict = {}
         # windowed MXU deformer gather (ops/facegather.py): the XLA row
         # gather it replaces is ~20 ns/row on TPU; interpret mode off-TPU
@@ -229,6 +338,40 @@ class FramePipeline:
         )
         return {"render": render, "raw": raw, "invdepth": invdepth}
 
+    def render_frames(self, avatar, targets: list, group: int) -> list[dict]:
+        """Render len(targets) frames through the grouped two-phase program
+        (see grouped_frames_impl), G frames per device call. Short final
+        chunks replicate the last target; the padded renders are computed
+        but not returned."""
+        import functools
+
+        if not targets:
+            return []
+        key = (group, avatar.uv_local_xyz.shape[1],
+               id(self._active_plan))
+        fn = self._grouped_fns.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                self._grouped_frames_impl, self._active_plan,
+                self._active_cfaces, group))
+            self._grouped_fns[key] = fn
+        outs: list[dict] = []
+        for s in range(0, len(targets), group):
+            chunk = targets[s:s + group]
+            chunk = chunk + [chunk[-1]] * (group - len(chunk))
+            tgt = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[_batched_params(t["params"]) for t in chunk])
+            w2c = jnp.stack([jnp.asarray(t["w2c"]) for t in chunk])
+            rends, raws, invds = fn(
+                self.params["renderer"], self._ehm_arrays, self._tables,
+                avatar, tgt, w2c)
+            n_real = len(targets[s:s + group])
+            for g in range(n_real):
+                outs.append({"render": rends[g], "raw": raws[g],
+                             "invdepth": invds[g]})
+        return outs
+
 
 def infer_avatar(rt: Runtime, params: dict, source: dict, prune: bool = True):
     """Convenience wrapper (one-off; loops should hold a FramePipeline)."""
@@ -250,12 +393,17 @@ def render_set(
     max_frames: int | None = None,
     export_ply: bool = True,
     dp_frames: bool = False,
+    group_frames: int = 0,
 ) -> dict:
     """Self-reenactment over the test frames of each video (ref: test.py:30-94).
 
     dp_frames=True renders frames data-parallel over all local devices
     (one avatar, poses sharded over the mesh — see parallel/batch_render.py);
-    the reference can only render sequentially on one GPU."""
+    the reference can only render sequentially on one GPU.
+
+    group_frames=G>1 renders G frames per device call through the grouped
+    two-phase program (FramePipeline.render_frames): higher throughput on
+    one chip at G frames of latency."""
     os.makedirs(save_path, exist_ok=True)
     pipe = FramePipeline(rt, params)
     n_dev = len(jax.devices())
@@ -334,6 +482,24 @@ def render_set(
                 _save_png(os.path.join(rdir, name), render)
                 frames.append(np.concatenate([gt, render], axis=1))
             del n_real  # padding frames are rendered but never saved
+        elif group_frames > 1 and sel:
+            recs = [dataset[i] for i in sel]
+            targets = [r["target"] for r in recs]
+            # warm-up (compile) on the first chunk, then timed
+            pipe.render_frames(avatar, targets[:group_frames], group_frames)
+            import time as _time
+
+            t0 = _time.time()
+            outs = pipe.render_frames(avatar, targets, group_frames)
+            jax.block_until_ready(outs[-1]["render"])
+            speed.add_frames(len(sel), _time.time() - t0)
+            for i, rec, out in zip(sel, recs, outs):
+                name = f"{i:06d}.png"
+                gt = np.asarray(rec["target"]["image"]) * np.asarray(rec["target"]["mask"])
+                render = np.asarray(out["render"])
+                _save_png(os.path.join(gdir, name), gt)
+                _save_png(os.path.join(rdir, name), render)
+                frames.append(np.concatenate([gt, render], axis=1))
         else:
             # warm-up the frame trace so the timed loop measures steady state
             if sel:

@@ -265,6 +265,7 @@ def bin_gaussians(
     conic: jnp.ndarray | None = None,
     alpha: jnp.ndarray | None = None,
     payload: tuple | None = None,
+    class_order: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Duplicate-with-keys + sort.
 
@@ -288,6 +289,16 @@ def bin_gaussians(
     (settings.tile_cull, needs `conic`+`alpha`) are NOT counted: the blend
     provably ignores them (max alpha over the tile < 1/255), so dropping
     them is lossless.
+
+    `class_order` (size_classes only): a precomputed (P,) permutation
+    assigning gaussians to cap classes by position, replacing the
+    per-frame area-rank sort + rank gathers. For animation, compute it
+    ONCE from the clip's per-gaussian envelope areas
+    (`envelope_class_order`): the envelope-fitted ladder guarantees every
+    frame's rect fits its cap, so the kept instance set — and the render —
+    is identical to per-frame ranking, while the P-row sort leaves the
+    frame loop. `num_truncated` is still counted per-frame and reads
+    nonzero if a pose escapes the envelope.
     """
     tile = settings.tile
     tpg = settings.max_tiles_per_gaussian
@@ -319,10 +330,13 @@ def bin_gaussians(
         return tid.reshape(-1), gid_b.reshape(-1), depth_b.reshape(-1)
 
     gids0 = jnp.arange(P, dtype=jnp.int32)
+    if class_order is not None and not settings.size_classes:
+        raise ValueError("class_order requires size_classes")
     if payload is not None or not settings.presort or settings.size_classes:
         return _bin_nopresort(
             depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
             num_potential, settings, P, cp, payload=payload,
+            class_order=class_order,
         )
 
     # Pre-sort the P gaussians by depth (ties keep id order), then
@@ -431,7 +445,8 @@ def bin_gaussians(
 
 
 def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
-                   num_potential, settings, P, cp=None, payload=None):
+                   num_potential, settings, P, cp=None, payload=None,
+                   class_order=None):
     """Binning without the P-row depth presort.
 
     The presorted path exists to shrink the instance-sort payload, but
@@ -485,12 +500,17 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
         # 2-class cap needs ~20x (the CUDA reference is uncapped,
         # rasterizer_impl.cu:292-301; a truncating config measured 22.7 dB
         # vs the uncapped render, tpu_window_20260818_101719/diag.log).
-        need = jnp.where(valid, rw * rh, -1)
-        id_bits = max(1, int(P - 1).bit_length())
-        assert id_bits + int(num_tiles).bit_length() + 1 <= 31, (
-            "size_classes rank packing needs area+id in 31 bits")
-        packed_need = ((need + 1) << id_bits) | gids0
-        ranked = jax.lax.sort(packed_need)[::-1] & ((1 << id_bits) - 1)
+        if class_order is not None:
+            # static assignment: the envelope order replaces the per-frame
+            # area-rank sort (see bin_gaussians docstring)
+            ranked = class_order
+        else:
+            need = jnp.where(valid, rw * rh, -1)
+            id_bits = max(1, int(P - 1).bit_length())
+            assert id_bits + int(num_tiles).bit_length() + 1 <= 31, (
+                "size_classes rank packing needs area+id in 31 bits")
+            packed_need = ((need + 1) << id_bits) | gids0
+            ranked = jax.lax.sort(packed_need)[::-1] & ((1 << id_bits) - 1)
 
         # Gather EVERY per-gaussian bin array into area-rank order once
         # (1-D gathers at this scale are ~free, bin2 diag): each class AND
@@ -509,7 +529,7 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
 
         parts = []
         lids = []
-        emitted = jnp.zeros((), need.dtype)
+        emitted = jnp.zeros((), jnp.int32)
         start = 0
         for ci, (count, cap) in enumerate(settings.size_classes):
             count = min(int(count), P - start)
@@ -629,6 +649,24 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
     sorted_tile = _unpack_sort_tile(out[:nkeys], num_tiles)
     return _finish_bin(sorted_tile, out[nkeys], num_tiles, num_valid,
                        num_truncated, settings)
+
+
+def envelope_class_order(max_areas) -> jnp.ndarray:
+    """Static size-class assignment from per-gaussian ENVELOPE rect areas
+    (max tiles-covered over a clip's frames).
+
+    Returns the (P,) permutation `bin_gaussians(class_order=...)` expects,
+    with the same descending-area, descending-id tie order the dynamic
+    per-frame rank sort produces — so on a single frame whose areas equal
+    the envelope, static and dynamic binning are bit-identical."""
+    import numpy as np
+
+    a = np.asarray(max_areas).astype(np.int64).reshape(-1)
+    P = a.shape[0]
+    id_bits = max(1, int(P - 1).bit_length())
+    packed = ((a + 1) << id_bits) | np.arange(P, dtype=np.int64)
+    order = np.sort(packed)[::-1] & ((1 << id_bits) - 1)
+    return jnp.asarray(order.astype(np.int32))
 
 
 def _pack_sort_key(tile_flat, dk_flat, num_tiles):
@@ -1903,6 +1941,108 @@ def _tiled_to_image(x: jnp.ndarray, height: int, width: int, tile: int) -> jnp.n
 # ---------------------------------------------------------------------------
 
 
+class RasterPrep(NamedTuple):
+    """Per-frame raster prep: everything up to the Pallas blend.
+
+    Splitting prep from the blend lets a frame loop run them PHASE-
+    SEPARATED (prep xG into stacked HBM buffers, then blend xG): the
+    interleaved composition measures ~8 ms/frame slower than the sum of
+    the standalone stages on-chip, and grouping recovers the two-loop
+    additivity (28.39 vs 33.29 ms/frame at G=4,
+    outputs/bench/tpu_window_r4c/ee_stages6_newladder.log)."""
+
+    table: jnp.ndarray    # (P, _PK) packed per-gaussian rows
+    order: jnp.ndarray    # (N_pad,) i32 instance -> gaussian id
+    ranges: jnp.ndarray   # (T+1,) i32 per-tile instance ranges
+    radius: jnp.ndarray   # (P,) projected pixel radius (API parity)
+
+
+def rasterize_prep(
+    means3d: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    cam: Camera,
+    settings: RasterizeSettings = RasterizeSettings(),
+    class_order: jnp.ndarray | None = None,
+) -> RasterPrep:
+    """Projection + binning + packed-row build for the default (DMA
+    row-gather) blend path. Differentiable: the table carries the
+    custom_vjp's full gradient surface; binning outputs ride on
+    stop_gradients exactly as in `rasterize`."""
+    if settings.vmem_classes or settings.streaming:
+        raise ValueError(
+            "rasterize_prep covers the default blend path only "
+            "(vmem_classes/streaming keep their fused form in rasterize)")
+    H, W = cam.height, cam.width
+    tile = settings.tile
+    assert H % tile == 0 and W % tile == 0, "pad image dims to tile multiple"
+
+    proj = project_gaussians(
+        means3d, scales, quats, opacities, cam,
+        settings.scale_modifier, settings.antialiasing,
+    )
+    contributing = proj.valid & (
+        jax.lax.stop_gradient(proj.alpha) >= ALPHA_MIN
+    )
+    ranges, order, _, _ = bin_gaussians(
+        jax.lax.stop_gradient(proj.mean2d),
+        jax.lax.stop_gradient(proj.depth),
+        proj.radius_bin, contributing, W, H, settings,
+        conic=jax.lax.stop_gradient(proj.conic),
+        alpha=jax.lax.stop_gradient(proj.alpha),
+        class_order=class_order,
+    )
+
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-8)
+    P = means3d.shape[0]
+    per_gauss = jnp.concatenate(
+        [
+            proj.mean2d,
+            proj.conic,
+            proj.alpha[:, None],
+            jnp.zeros((P, 2), jnp.float32),
+            colors,
+            invd[:, None],
+            jnp.zeros((P, _PK - _GEOM - NUM_CHANNELS - 1), jnp.float32),
+        ],
+        axis=-1,
+    )  # (P, _PK)
+    # pad order by one chunk: the kernel's index staging may over-read past
+    # a short final run (padded entries point at row 0, lanes masked)
+    G = settings.chunk
+    pad_rows = ((order.shape[0] + G - 1) // G + 1) * G - order.shape[0]
+    order = jnp.concatenate(
+        [order, jnp.zeros((pad_rows,), order.dtype)], axis=0
+    )
+    return RasterPrep(per_gauss, order, ranges, proj.radius)
+
+
+def rasterize_blend(
+    prep: RasterPrep,
+    bg: jnp.ndarray,
+    height: int,
+    width: int,
+    settings: RasterizeSettings = RasterizeSettings(),
+    channels_first: bool = True,
+):
+    """Blend a prepped frame (see RasterPrep): the Pallas fused
+    gather+blend kernel plus the tiled->image relayout. Same returns as
+    `rasterize`."""
+    bg_ext = jnp.concatenate([bg, jnp.zeros(_CCH - NUM_CHANNELS, bg.dtype)])
+    out4, _ = blend_tiles(prep.table, prep.order, prep.ranges, bg_ext,
+                          height, width, settings.tile, settings.chunk,
+                          settings.dma_banks, settings.exit_every)
+    out = _tiled_to_image(out4, height, width, settings.tile)
+    if not channels_first:
+        return (out[:, :, :NUM_CHANNELS],
+                out[:, :, NUM_CHANNELS:NUM_CHANNELS + 1])
+    color = jnp.transpose(out[:, :, :NUM_CHANNELS], (2, 0, 1))
+    invdepth = out[:, :, NUM_CHANNELS][None]
+    return color, invdepth
+
+
 def rasterize(
     means3d: jnp.ndarray,
     colors: jnp.ndarray,
@@ -1913,6 +2053,7 @@ def rasterize(
     bg: jnp.ndarray,
     settings: RasterizeSettings = RasterizeSettings(),
     channels_first: bool = True,
+    class_order: jnp.ndarray | None = None,
 ):
     """Differentiable single-image rasterization.
 
@@ -1929,6 +2070,13 @@ def rasterize(
     H, W = cam.height, cam.width
     tile = settings.tile
     assert H % tile == 0 and W % tile == 0, "pad image dims to tile multiple"
+
+    if not settings.vmem_classes and not settings.streaming:
+        prep = rasterize_prep(
+            means3d, colors, opacities, scales, quats, cam, settings,
+            class_order=class_order)
+        out = rasterize_blend(prep, bg, H, W, settings, channels_first)
+        return out[0], prep.radius, out[1]
 
     proj = project_gaussians(
         means3d, scales, quats, opacities, cam,
@@ -1955,6 +2103,7 @@ def rasterize(
             mean2d_sg, depth_sg, proj.radius_bin, contributing, W, H,
             settings, conic=conic_sg, alpha=alpha_sg,
             payload=(jnp.arange(Pn, dtype=jnp.int32),),
+            class_order=class_order,
         )
     elif settings.streaming:
         # the packed per-gaussian payload rides THROUGH the instance sort
@@ -1970,11 +2119,7 @@ def rasterize(
         ranges, order, spay, _, _ = bin_gaussians(
             mean2d_sg, depth_sg, proj.radius_bin, contributing, W, H,
             settings, conic=conic_sg, alpha=alpha_sg, payload=payload,
-        )
-    else:
-        ranges, order, _, _ = bin_gaussians(
-            mean2d_sg, depth_sg, proj.radius_bin, contributing, W, H,
-            settings, conic=conic_sg, alpha=alpha_sg,
+            class_order=class_order,
         )
 
     # per-gaussian packed rows (differentiable: the custom_vjp's gradient
@@ -2043,10 +2188,6 @@ def rasterize(
         out4, _ = blend_tiles_stream(per_gauss, stream, order, ranges,
                                      bg_ext, H, W, tile, settings.chunk,
                                      settings.dma_banks)
-    else:
-        out4, _ = blend_tiles(per_gauss, order, ranges, bg_ext, H, W, tile,
-                              settings.chunk, settings.dma_banks,
-                              settings.exit_every)
     out = _tiled_to_image(out4, H, W, tile)  # (H, W, CCH)
 
     if not channels_first:

@@ -84,6 +84,7 @@ def test(args):
             results = render_set(
                 rt, params, ds, save_path, saving_name=args.saving_name,
                 max_frames=args.max_frames, dp_frames=args.dp_render,
+                group_frames=args.group_frames,
             )
             print(results)
 
@@ -98,6 +99,11 @@ if __name__ == "__main__":
     parser.add_argument("--dp_render", action="store_true",
                         help="render frames data-parallel over all local "
                              "devices (one avatar, poses sharded)")
+    parser.add_argument("--group_frames", type=int, default=0,
+                        help="render G frames per device call through the "
+                             "grouped two-phase (prep xG then blend xG) "
+                             "program — single-chip throughput at G frames "
+                             "of latency")
     parser.add_argument("--bf16", action="store_true",
                         help="run the neural refiner in bfloat16 (TPU serving)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],

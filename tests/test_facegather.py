@@ -209,3 +209,56 @@ def test_frame_pipeline_planned_path_matches_plain(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_planned["raw"]), np.asarray(out_plain["raw"]), atol=2e-5
     )
+
+
+def test_frame_pipeline_grouped_matches_sequential(tmp_path):
+    """render_frames (grouped two-phase prep xG / blend xG program) must
+    produce the same images as render_frame one at a time — including a
+    short final chunk that pads by replicating the last target."""
+    import os
+
+    import yaml
+
+    from guava_renderer_tpu.cli.context import (
+        build_runtime, init_params, resolve_config,
+    )
+    from guava_renderer_tpu.cli.inference import FramePipeline
+    from guava_renderer_tpu.data.synthetic import write_synthetic_dataset
+    from guava_renderer_tpu.data.tracked import TrackedVideoDataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds_dir = str(tmp_path / "ds")
+    write_synthetic_dataset(ds_dir, n_videos=1, n_frames=4, image_size=48,
+                            n_shape=8, n_exp=4)
+    with open(os.path.join(repo, "configs/train/micro_synthetic.yaml")) as f:
+        raw = yaml.safe_load(f)
+    raw["DATASET"]["data_path"] = ds_dir
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+
+    cfg = resolve_config(cfg_path)
+    rt = build_runtime(cfg, synthetic_assets=True)
+    params = init_params(rt, seed=0)["model"]
+    m = cfg.MODEL
+    ds = TrackedVideoDataset(
+        ds_dir, "test",
+        image_size=int(m.image_size),
+        feature_img_size=int(m.feature_img_size),
+        origin_image_size=int(cfg.DATASET.origin_image_size),
+    )
+    targets = [ds[i]["target"] for i in range(min(3, len(ds.frames)))]
+
+    pipe = FramePipeline(rt, params)
+    avatar, _ = pipe.infer_avatar(ds[0]["source"])
+    seq = [pipe.render_frame(avatar, t) for t in targets]
+    grp = pipe.render_frames(avatar, targets, group=2)  # 3 targets: 2+pad
+
+    assert len(grp) == len(targets)
+    for a, b in zip(seq, grp):
+        np.testing.assert_allclose(
+            np.asarray(a["render"]), np.asarray(b["render"]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(a["raw"]), np.asarray(b["raw"]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(a["invdepth"]), np.asarray(b["invdepth"]), atol=2e-5)

@@ -599,3 +599,116 @@ def test_streaming_rejects_instance_budget(scene):
             means, colors, opac, scales, quats, cam, jnp.zeros(C),
             RasterizeSettings(chunk=8, streaming=True, instance_budget=256),
         )
+
+
+def test_prep_blend_split_matches_rasterize(scene):
+    """rasterize_prep + rasterize_blend (the grouped frame loop's phase
+    split, bench.py --group) must be bit-identical to the fused rasterize
+    on the default path."""
+    from guava_renderer_tpu.ops.gsplat import rasterize_blend, rasterize_prep
+
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.linspace(0.0, 1.0, C)
+    st = RasterizeSettings(chunk=16, size_classes=((8, 16), (32, 4)))
+    out_f, radii_f, invd_f = rasterize(
+        means, colors, opac, scales, quats, cam, bg, st,
+        channels_first=False)
+    prep = rasterize_prep(means, colors, opac, scales, quats, cam, st)
+    out_s, invd_s = rasterize_blend(prep, bg, 64, 64, st,
+                                    channels_first=False)
+    np.testing.assert_array_equal(radii_f, prep.radius)
+    np.testing.assert_array_equal(out_f, out_s)
+    np.testing.assert_array_equal(invd_f, invd_s)
+
+
+def test_prep_rejects_fused_only_modes(scene):
+    from guava_renderer_tpu.ops.gsplat import rasterize_prep
+
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(32)
+    with pytest.raises(ValueError, match="default blend path"):
+        rasterize_prep(means, colors, opac, scales, quats, cam,
+                       RasterizeSettings(chunk=8, streaming=True))
+
+
+def test_static_class_order_matches_dynamic(scene):
+    """class_order computed from this frame's own areas must reproduce the
+    dynamic per-frame area-rank binning bit-exactly (envelope_class_order
+    mirrors the packed-sort tie order), and report zero truncation on a
+    zero-truncation ladder."""
+    from guava_renderer_tpu.ops.gsplat import (
+        ALPHA_MIN, bin_gaussians, envelope_class_order,
+    )
+    from guava_renderer_tpu.ops.gsplat_project import (
+        project_gaussians, tile_rect,
+    )
+
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.linspace(0.0, 1.0, C)
+    st = RasterizeSettings(chunk=16, size_classes=((8, 32), (24, 16)),
+                           max_tiles_per_gaussian=4)
+
+    proj = project_gaussians(means, scales, quats, opac, cam, 1.0, False)
+    contributing = proj.valid & (proj.alpha >= ALPHA_MIN)
+    x0, y0, x1, y1 = tile_rect(proj.mean2d, proj.radius_bin, 64, 64,
+                               st.tile)
+    areas = np.where(np.asarray(contributing),
+                     np.asarray((x1 - x0) * (y1 - y0)), 0)
+    order = envelope_class_order(areas)
+
+    out_dyn, _, invd_dyn = rasterize(
+        means, colors, opac, scales, quats, cam, bg, st)
+    out_st, _, invd_st = rasterize(
+        means, colors, opac, scales, quats, cam, bg, st,
+        class_order=order)
+    np.testing.assert_array_equal(out_dyn, out_st)
+    np.testing.assert_array_equal(invd_dyn, invd_st)
+
+    *_, ntr = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_bin, contributing, 64, 64,
+        st, conic=proj.conic, alpha=proj.alpha, class_order=order)
+    assert int(ntr) == 0
+
+
+def test_static_class_order_counts_envelope_escape(scene):
+    """A DELIBERATELY wrong static order (ascending area: big splats in
+    low-cap classes) must surface truncation through the per-frame
+    counter — the guard that makes the static assignment honest."""
+    from guava_renderer_tpu.ops.gsplat import ALPHA_MIN, bin_gaussians
+    from guava_renderer_tpu.ops.gsplat_project import (
+        project_gaussians, tile_rect,
+    )
+
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    st = RasterizeSettings(chunk=16, size_classes=((8, 32), (24, 16)),
+                           max_tiles_per_gaussian=1)
+    proj = project_gaussians(means, scales, quats, opac, cam, 1.0, False)
+    contributing = proj.valid & (proj.alpha >= ALPHA_MIN)
+    x0, y0, x1, y1 = tile_rect(proj.mean2d, proj.radius_bin, 64, 64,
+                               st.tile)
+    areas = np.asarray((x1 - x0) * (y1 - y0))
+    wrong = jnp.asarray(np.argsort(areas).astype(np.int32))  # ascending!
+    *_, ntr_dyn = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_bin, contributing, 64, 64,
+        st, conic=proj.conic, alpha=proj.alpha)
+    *_, ntr_wrong = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_bin, contributing, 64, 64,
+        st, conic=proj.conic, alpha=proj.alpha, class_order=wrong)
+    assert int(ntr_wrong) > int(ntr_dyn)
+
+
+def test_class_order_requires_size_classes(scene):
+    from guava_renderer_tpu.ops.gsplat import ALPHA_MIN, bin_gaussians
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    proj = project_gaussians(means, scales, quats, opac, cam, 1.0, False)
+    with pytest.raises(ValueError, match="size_classes"):
+        bin_gaussians(
+            proj.mean2d, proj.depth, proj.radius_bin, proj.valid, 64, 64,
+            RasterizeSettings(chunk=16),
+            class_order=jnp.zeros((means.shape[0],), jnp.int32))

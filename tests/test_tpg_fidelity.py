@@ -286,6 +286,18 @@ def test_priority_window_zero_matches_priority_on_exact_ladder(stress_scene):
     args, cam, bg, ref = stress_scene
     base = RasterizeSettings(tile=16, chunk=8, max_tiles_per_gaussian=2,
                              size_classes=((16, 64), (48, 24), (96, 8)))
+    # the premise — this ladder truncates nothing on this scene — must
+    # hold or the image comparison below fails with an opaque diff
+    from guava_renderer_tpu.ops.gsplat import ALPHA_MIN, bin_gaussians
+    from guava_renderer_tpu.ops.gsplat_project import project_gaussians
+
+    proj = project_gaussians(args[0], args[3], args[4], args[2], cam,
+                             1.0, False)
+    contributing = proj.valid & (proj.alpha >= ALPHA_MIN)
+    *_, ntr = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_bin, contributing,
+        cam.width, cam.height, base, conic=proj.conic, alpha=proj.alpha)
+    assert int(ntr) == 0, f"ladder no longer zero-truncation: {int(ntr)}"
     out_p, _, _ = jax.jit(lambda *a: rasterize(
         *a, cam, bg, base._replace(priority_window=16)))(*args)
     out_rm, _, _ = jax.jit(lambda *a: rasterize(

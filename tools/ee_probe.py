@@ -47,6 +47,11 @@ def main():
                     help="grouped two-phase frames (prep xG then blend xG "
                          "inside one body) — tests whether separating the "
                          "phases recovers the twoloop additivity")
+    ap.add_argument("--stages7", action="store_true",
+                    help="prep_full decomposition: project / rank-sort / "
+                         "gather / duplicate / instance-sort / ranges, "
+                         "each fully consumed — attributes the ~21 ms "
+                         "prep cost to its sub-stages")
     ap.add_argument("--ladder", default="",
                     help="override the probe's size-class ladder "
                          "('count:cap,...')")
@@ -165,7 +170,7 @@ def main():
 
         def prep_loop(xyz, colors, opac, scales, rots):
             def body(i, acc):
-                r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                r_, o_, t_, nv_, _ = prep(xyz + acc * 1e-30, colors, opac,
                                           scales, rots)
                 return acc + t_[0, 0] * 0.0 + jnp.float32(nv_)
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
@@ -187,7 +192,7 @@ def main():
         # static-row sort entirely — prep_sorted minus prep = sort cost)
         def prep_sorted_loop(xyz, colors, opac, scales, rots):
             def body(i, acc):
-                r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                r_, o_, t_, nv_, _ = prep(xyz + acc * 1e-30, colors, opac,
                                           scales, rots)
                 return (acc + t_[0, 0] * 0.0 + jnp.float32(nv_)
                         + jnp.float32(jnp.sum(r_)) + jnp.float32(o_[0]))
@@ -210,7 +215,7 @@ def main():
         def composed_loop(relayout):
             def run(xyz, colors, opac, scales, rots):
                 def body(i, acc):
-                    r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                    r_, o_, t_, nv_, _ = prep(xyz + acc * 1e-30, colors, opac,
                                               scales, rots)
                     G = 32
                     pad = ((o_.shape[0] + G - 1) // G + 1) * G - o_.shape[0]
@@ -240,7 +245,7 @@ def main():
 
         def full_loop(xyz, colors, opac, scales, rots):
             def body(i, acc):
-                c, r, iv = rasterize(xyz + acc * 0.0, colors, opac, scales,
+                c, r, iv = rasterize(xyz + acc * 1e-30, colors, opac, scales,
                                      rots, sc.cam,
                                      jnp.zeros(NUM_CHANNELS), st,
                                      channels_first=False)
@@ -306,9 +311,9 @@ def main():
 
         def argblend(xyz, colors, opac, scales, rots, t_, o_, r_):
             def body(i, acc):
-                rr, oo, tt_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                rr, oo, tt_, nv_, _ = prep(xyz + acc * 1e-30, colors, opac,
                                            scales, rots)
-                out, _tt = blend_tiles(t_, o_, r_, bg + acc * 0.0, sc.size,
+                out, _tt = blend_tiles(t_, o_, r_, bg + acc * 1e-30, sc.size,
                                        sc.size, 32, 32, 1, 1)
                 return (acc + jnp.sum(out[:, :, 0, :1]) * 1e-9
                         + tt_[0, 0] * 0.0 + jnp.float32(nv_)
@@ -320,7 +325,7 @@ def main():
 
         def barrier(xyz, colors, opac, scales, rots):
             def body(i, acc):
-                r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors, opac,
+                r_, o_, t_, nv_, _ = prep(xyz + acc * 1e-30, colors, opac,
                                           scales, rots)
                 G = 32
                 pad = ((o_.shape[0] + G - 1) // G + 1) * G - o_.shape[0]
@@ -387,7 +392,7 @@ def main():
         def composed_ee(ee):
             def run(xyz, colors, opac, scales, rots):
                 def body(i, acc):
-                    r_, o_, t_, nv_, _ = prep(xyz + acc * 0.0, colors,
+                    r_, o_, t_, nv_, _ = prep(xyz + acc * 1e-30, colors,
                                               opac, scales, rots)
                     G = 32
                     pad = ((o_.shape[0] + G - 1) // G + 1) * G - o_.shape[0]
@@ -542,7 +547,7 @@ def main():
                     def prep_g(g, carry):
                         tbl, od, rg = carry
                         r_, o_, t_, nv_, _ = prep(
-                            xyz + (acc * 0.0 + g.astype(jnp.float32))
+                            xyz + (acc + g.astype(jnp.float32))
                             * 1e-30, colors, opac, scales, rots)
                         o_ = jnp.concatenate(
                             [o_, jnp.zeros((op_len - o_.shape[0],),
@@ -564,7 +569,7 @@ def main():
                             od, (g, 0), (1, op_len))[0]
                         r_ = jax.lax.dynamic_slice(
                             rg, (g, 0), (1, ranges.shape[0]))[0]
-                        out, tt = blend_tiles(t_, o_, r_, bg + a * 0.0,
+                        out, tt = blend_tiles(t_, o_, r_, bg + a * 1e-30,
                                               sc.size, sc.size, 32, 32,
                                               1, 1)
                         return a + jnp.sum(out[:, :, 0, :1])
@@ -587,6 +592,137 @@ def main():
                 v = jax.block_until_ready(jf(*a))
                 reps.append((time.time() - ts) / nfr * 1e3)
             print(f"[ee] grouped G={group}: {min(reps):.2f} ms/frame "
+                  f"(reps {[f'{x:.2f}' for x in reps]}, compile {tc:.0f}s, "
+                  f"acc={float(v):.1f})", flush=True)
+
+    if args.stages7:
+        # Incremental prep decomposition, mirroring _bin_nopresort's
+        # size_classes path (ops/gsplat.py:477-555) stage by stage, every
+        # stage's outputs consumed into the loop carry so XLA cannot DCE
+        # them. stage k minus stage k-1 = that sub-stage's marginal cost.
+        from guava_renderer_tpu.ops.gsplat import (
+            _cull_qcut, _dup_tiles, _pack_sort_key, _unpack_sort_tile)
+        from guava_renderer_tpu.ops.gsplat_project import tile_rect
+
+        tile_px = st.tile
+        gx7 = sc.size // tile_px
+        num_tiles7 = gx7 * gx7
+        P7 = int(gs.xyz.shape[1])
+        tpg7 = st.max_tiles_per_gaussian
+        id_bits = max(1, int(P7 - 1).bit_length())
+
+        def stage_fn(upto):
+            def f(xyz, colors, opac, scales, rots):
+                def body(i, acc):
+                    proj = project_gaussians(
+                        xyz + acc * 1e-30, scales, rots, opac, sc.cam,
+                        1.0, False)
+                    valid = proj.valid & (proj.alpha >= ALPHA_MIN)
+                    x0, y0, x1, y1 = tile_rect(
+                        proj.mean2d, proj.radius_bin, sc.size, sc.size,
+                        tile_px)
+                    rw = x1 - x0
+                    rh = y1 - y0
+                    valid = valid & (rw > 0) & (rh > 0)
+                    acc = acc + jnp.float32(
+                        jnp.sum(jnp.where(valid, rw * rh, 0))) * 1e-9
+                    if upto == 0:       # project + rects
+                        return acc
+                    depth_bits = jax.lax.bitcast_convert_type(
+                        proj.depth, jnp.int32)
+                    need = jnp.where(valid, rw * rh, -1)
+                    packed_need = ((need + 1) << id_bits) | jnp.arange(
+                        P7, dtype=jnp.int32)
+                    ranked = jax.lax.sort(packed_need)[::-1] & (
+                        (1 << id_bits) - 1)
+                    if upto == 1:       # + area-rank sort
+                        return acc + jnp.float32(
+                            jnp.sum(ranked)) * 1e-12
+                    rg = lambda a: a[ranked]  # noqa: E731
+                    x0r, y0r, rwr, rhr = rg(x0), rg(y0), rg(rw), rg(rh)
+                    validr = rg(valid)
+                    dkr = rg(depth_bits)
+                    qcut = _cull_qcut(proj.conic, proj.alpha)
+                    cpr = tuple(rg(a) for a in (
+                        proj.mean2d[:, 0], proj.mean2d[:, 1],
+                        proj.conic[:, 0], proj.conic[:, 1],
+                        proj.conic[:, 2], qcut))
+                    if upto == 2:       # + rank gathers
+                        return (acc + jnp.float32(jnp.sum(x0r + y0r)) * 1e-9
+                                + jnp.sum(cpr[0]) * 1e-9
+                                + jnp.float32(jnp.sum(dkr)) * 1e-12)
+                    parts_t, parts_g, parts_d = [], [], []
+                    start = 0
+                    for count, cap in st.size_classes:
+                        count = min(int(count), P7 - start)
+                        if count <= 0:
+                            break
+                        s = slice(start, start + count)
+                        tid = _dup_tiles(
+                            x0r[s], y0r[s], rwr[s], rhr[s], validr[s],
+                            int(cap), tuple(a[s] for a in cpr), tile_px,
+                            gx7, num_tiles7, st.priority_window)
+                        parts_t.append(tid.reshape(-1))
+                        parts_g.append(jnp.broadcast_to(
+                            ranked[s][:, None], (count, int(cap))
+                        ).reshape(-1))
+                        parts_d.append(jnp.broadcast_to(
+                            dkr[s][:, None], (count, int(cap))
+                        ).reshape(-1))
+                        start += count
+                    s = slice(start, P7)
+                    n_base = P7 - start
+                    tid = _dup_tiles(
+                        x0r[s], y0r[s], rwr[s], rhr[s], validr[s], tpg7,
+                        tuple(a[s] for a in cpr), tile_px, gx7,
+                        num_tiles7, st.priority_window)
+                    parts_t.append(tid.reshape(-1))
+                    parts_g.append(jnp.broadcast_to(
+                        ranked[s][:, None], (n_base, tpg7)).reshape(-1))
+                    parts_d.append(jnp.broadcast_to(
+                        dkr[s][:, None], (n_base, tpg7)).reshape(-1))
+                    tile_flat = jnp.concatenate(parts_t)
+                    gid_flat = jnp.concatenate(parts_g)
+                    dk_flat = jnp.concatenate(parts_d)
+                    if upto == 3:       # + duplication (tiles+gids+depths)
+                        return (acc + jnp.float32(
+                            jnp.sum(tile_flat)) * 1e-12
+                            + jnp.float32(jnp.sum(gid_flat)) * 1e-12
+                            + jnp.float32(jnp.sum(dk_flat)) * 1e-15)
+                    key, nkeys = _pack_sort_key(
+                        tile_flat, dk_flat, num_tiles7)
+                    out = jax.lax.sort((*key, gid_flat), num_keys=nkeys)
+                    if upto == 4:       # + instance sort
+                        return (acc + jnp.float32(
+                            jnp.sum(out[nkeys])) * 1e-12
+                            + jnp.float32(jnp.sum(out[0])) * 1e-15)
+                    sorted_tile = _unpack_sort_tile(
+                        out[:nkeys], num_tiles7)
+                    ranges_ = jnp.searchsorted(
+                        sorted_tile,
+                        jnp.arange(num_tiles7 + 1, dtype=jnp.int32),
+                        method="scan").astype(jnp.int32)
+                    return (acc + jnp.float32(jnp.sum(ranges_)) * 1e-9
+                            + jnp.float32(jnp.sum(out[nkeys])) * 1e-12)
+                return jax.lax.fori_loop(0, args.iters, body,
+                                         jnp.float32(0))
+            return f
+
+        names7 = ("project+rects", "+rank sort", "+rank gathers",
+                  "+duplicate", "+instance sort", "+ranges")
+        a7 = (gs.xyz[0], gs.colors[0], gs.opacity[0], gs.scaling[0],
+              gs.rotation[0])
+        for upto, name in enumerate(names7):
+            jf = jax.jit(stage_fn(upto))
+            tc = time.time()
+            v = jax.block_until_ready(jf(*a7))
+            tc = time.time() - tc
+            reps = []
+            for _ in range(3):
+                ts = time.time()
+                v = jax.block_until_ready(jf(*a7))
+                reps.append((time.time() - ts) / args.iters * 1e3)
+            print(f"[ee] stage7[{upto}] {name}: {min(reps):.2f} ms/frame "
                   f"(reps {[f'{x:.2f}' for x in reps]}, compile {tc:.0f}s, "
                   f"acc={float(v):.1f})", flush=True)
 

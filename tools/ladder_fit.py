@@ -180,6 +180,10 @@ def _fit_and_print(args, np, area, valid, P, a_desc):
     import math
 
     vals, cnts = np.unique(area[area > 0], return_counts=True)
+    if not len(vals):
+        print("[ladder] no valid gaussians (every area == 0) — nothing "
+              "to fit")
+        return
     m = args.margin
     # DP cost uses the margin-scaled caps the deployed ladder would carry
     vals = [int(math.ceil(v * m)) for v in vals[::-1].tolist()]  # descending
