@@ -623,9 +623,13 @@ def main():
                     default=True,
                     help="P-row depth presort in binning (False = 2-key instance sort)")
     ap.add_argument("--tile-cull", action=argparse.BooleanOptionalAction,
-                    default=True,
+                    default=False,
                     help="exact per-instance tile cull (max alpha over tile"
-                         " < 1/255 -> drop; lossless)")
+                         " < 1/255 -> drop; lossless either way). Default "
+                         "OFF: on the zero-truncation ladder its qmin math "
+                         "+ 6 extra rank gathers cost ~9.6 ms/frame vs "
+                         "~15% more invisible instances in the blend "
+                         "(tpu_window_r5a/dup_probe_pw0.log)")
     # measured-best parity variant (24.80 vs 24.48 fps, r7 sweep) and what
     # cli/inference.py itself runs (self._use_plan)
     ap.add_argument("--face-plan", action=argparse.BooleanOptionalAction,

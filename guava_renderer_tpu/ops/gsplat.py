@@ -512,16 +512,33 @@ def _bin_nopresort(depth, x0, y0, rw, rh, valid, gids0, gx, num_tiles,
             packed_need = ((need + 1) << id_bits) | gids0
             ranked = jax.lax.sort(packed_need)[::-1] & ((1 << id_bits) - 1)
 
-        # Gather EVERY per-gaussian bin array into area-rank order once
-        # (1-D gathers at this scale are ~free, bin2 diag): each class AND
-        # the base remainder then become static slices of the ranked
-        # arrays. The former per-class gathers + base-over-all-P layout
-        # paid P*tpg static sort rows for the base even though the classed
-        # gaussians' base slots were always invalid — at the 512^2 bench
-        # scene that was 131k of 1.27M rows, and the instance sort is
-        # data-volume bound (rows x passes), so dead rows are real ms.
+        # Gather the per-gaussian bin arrays into area-rank order once:
+        # each class AND the base remainder then become static slices of
+        # the ranked arrays. The former per-class gathers + base-over-all-P
+        # layout paid P*tpg static sort rows for the base even though the
+        # classed gaussians' base slots were always invalid. The gathers
+        # are NOT free at this scale — 12 separate (P,) gathers measured
+        # 5.0 ms/frame at P=185k (stages7, tpu_window_r5a) — so the five
+        # rect/valid arrays ride ONE packed i32 gather when the grid fits
+        # 7-bit tile coords (gx, gy <= 128 covers 4096px at tile 32;
+        # rw, rh <= 128 by construction): 22.3 -> 7.5 ms on the full bin
+        # path together with tile_cull=False
+        # (tpu_window_r5a/dup_probe_pw0.log).
         rg = lambda a: a[ranked]  # noqa: E731
-        x0, y0, rw, rh, valid = rg(x0), rg(y0), rg(rw), rg(rh), rg(valid)
+        gy = num_tiles // gx
+        if gx <= 128 and gy <= 128:
+            packed_rect = (
+                (((((x0 << 7) | y0) << 8 | rw) << 8) | rh) << 1
+            ) | valid.astype(jnp.int32)
+            pk = rg(packed_rect)
+            valid = (pk & 1).astype(jnp.bool_)
+            rh = (pk >> 1) & 255
+            rw = (pk >> 9) & 255
+            y0 = (pk >> 17) & 127
+            x0 = pk >> 24
+        else:
+            x0, y0, rw, rh = rg(x0), rg(y0), rg(rw), rg(rh)
+            valid = rg(valid)
         depth_bits = rg(depth_bits)
         gids_r = ranked
         cp = tuple(rg(a) for a in cp) if cp is not None else None

@@ -712,3 +712,4 @@ def test_class_order_requires_size_classes(scene):
             proj.mean2d, proj.depth, proj.radius_bin, proj.valid, 64, 64,
             RasterizeSettings(chunk=16),
             class_order=jnp.zeros((means.shape[0],), jnp.int32))
+
