@@ -88,7 +88,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
               streaming: bool = False, stats_only: bool = False,
               size_classes: tuple = (), vmem_classes: int = 0,
               priority_window: int = 16, group: int = 1,
-              static_class_order: bool = False, phases: int = 2) -> dict:
+              static_class_order: bool = False, phases: int = 2,
+              bf16_rows: bool = False) -> dict:
     from guava_renderer_tpu.utils.platform import pin_platform
 
     pin_platform(platform)
@@ -121,7 +122,8 @@ def run_bench(platform: str, frames: int, size: int, uv: int, tile: int,
                                  tile_cull=tile_cull, streaming=streaming,
                                  size_classes=size_classes,
                                  vmem_classes=vmem_classes,
-                                 priority_window=priority_window)
+                                 priority_window=priority_window,
+                                 bf16_rows=bf16_rows)
 
     refiner = NeuralRefiner(image_size=size, small=True)
     feat0 = jnp.zeros((1, size, size, 32))
@@ -619,6 +621,12 @@ def main():
     ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bf16 refiner params+activations (rasterizer stays f32)")
+    ap.add_argument("--bf16-rows", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="bf16 packed row table in the blend (geometry "
+                         "hi/lo pairs + bf16 colors): halves the "
+                         "row-gather DMA bytes; >= 70 dB vs the f32 "
+                         "table (tests/test_gsplat.py)")
     ap.add_argument("--presort", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="P-row depth presort in binning (False = 2-key instance sort)")
@@ -704,7 +712,7 @@ def main():
                 size_classes=size_classes, vmem_classes=args.vmem_classes,
                 priority_window=args.priority_window, group=args.group,
                 static_class_order=args.static_class_order,
-                phases=args.phases,
+                phases=args.phases, bf16_rows=args.bf16_rows,
             )
             break
         except Exception:
@@ -742,6 +750,7 @@ def main():
         "presort": args.presort, "tile_cull": args.tile_cull,
         "streaming": args.streaming,
         "priority_window": args.priority_window,
+        "bf16_rows": args.bf16_rows,
     }
     extra["raster_settings"] = run_raster
     try:

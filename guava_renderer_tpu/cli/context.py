@@ -130,6 +130,7 @@ def build_runtime(cfg: ConfigDict, synthetic_assets: bool = False) -> Runtime:
         vmem_classes=int(raster_cfg.get("vmem_classes", 0)),
         streaming=bool(raster_cfg.get("streaming", False)),
         priority_window=int(raster_cfg.get("priority_window", 16)),
+        bf16_rows=bool(raster_cfg.get("bf16_rows", False)),
     )
     banks = int(raster_cfg.get("dma_banks", 1))
     assert int(raster_cfg.get("chunk", 32)) % max(banks, 1) == 0, (

@@ -140,6 +140,17 @@ class RasterizeSettings(NamedTuple):
     # the 512^2 bench scene. Leave >0 only for truncating configs, where
     # priority selection cuts the fringe instead of whole rect rows.
     priority_window: int = 16
+    # bf16 packed rows for the forward blend: the per-gaussian table rides
+    # HBM as (P, 128) bf16 — 256 B/row instead of 512 B through the
+    # row-gather DMAs (the blend runs at ~0.9 of peak HBM BW). Geometry
+    # (x, y, conic, alpha) is carried as bf16 hi/lo PAIRS reconstructed
+    # in-kernel as hi + lo (~16-bit mantissa, |rel err| ~ 2^-16 — measured
+    # >= 70 dB vs the f32 blend, tests/test_gsplat.py::test_bf16_rows);
+    # colors + invdepth are plain bf16, which the MXU matmul rounds to in
+    # BOTH paths anyway. The backward reconstructs the f32 table the
+    # forward actually used (hi + lo exactly), so the replay is consistent
+    # and gradients flow straight-through the packing.
+    bf16_rows: bool = False
     # Early-exit cadence for the forward blend: check the all-pixels-
     # saturated flag every `exit_every` chunks (0 disables the check).
     # The flag is a vector->scalar reduce feeding the while-loop condition
@@ -1018,6 +1029,7 @@ def _fwd_kernel(
     banks: int = 1,
     exit_every: int = 1,
     emit_counts: bool = False,
+    bf16_rows: bool = False,
 ):
     if emit_counts:
         cnt_ref, *refs = refs
@@ -1077,9 +1089,18 @@ def _fwd_kernel(
             idx_dma(slot, c + 2).start()
 
         rows_wait(slot)
-        data = buf[slot]              # (G, _PK)
-        geom = data[:, :_GEOM]
-        colors = data[:, _GEOM:_GEOM + _CCH]      # (G, CCH)
+        data = buf[slot]              # (G, _PK) f32 — or (G, _PK) bf16
+        if bf16_rows:
+            # geom rides as bf16 hi/lo pairs: value = hi + lo, exact to
+            # ~2^-16 relative (see _pack_rows_bf16); colors are plain
+            # bf16, upcast so the MXU sees the same f32->bf16 rounding
+            # as the f32-table path
+            geom = (data[:, :_GEOM].astype(jnp.float32)
+                    + data[:, _GEOM:2 * _GEOM].astype(jnp.float32))
+            colors = data[:, 2 * _GEOM:2 * _GEOM + _CCH].astype(jnp.float32)
+        else:
+            geom = data[:, :_GEOM]
+            colors = data[:, _GEOM:_GEOM + _CCH]      # (G, CCH)
 
         T = state_ref[0:1, :]
         alive = state_ref[1:2, :] < 0.5
@@ -1664,7 +1685,7 @@ def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk,
         ] + ([pl.BlockSpec((1, 1, 8, 128), lambda i, j, r: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)] if emit_counts else []),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, _PK), jnp.float32),
+            pltpu.VMEM((2, chunk, _PK), table.dtype),
             pltpu.SemaphoreType.DMA((2, banks)),
             pltpu.SMEM((2, _idx_rows(chunk), 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1675,7 +1696,8 @@ def _blend_fwd_call(table, order, ranges, bg, height, width, tile, chunk,
     )
     kernel = functools.partial(_fwd_kernel, tile=tile, chunk=chunk, grid_x=gx,
                                banks=banks, exit_every=exit_every,
-                               emit_counts=emit_counts)
+                               emit_counts=emit_counts,
+                               bf16_rows=table.dtype == jnp.bfloat16)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1774,6 +1796,66 @@ def _blend_bwd(height, width, tile, chunk, banks, exit_every, res, grads):
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
+
+
+def _pack_rows_bf16(table: jnp.ndarray) -> jnp.ndarray:
+    """(P, _PK) f32 rows -> (P, _PK) bf16 rows, 256 B/row through the DMAs.
+
+    Layout: lanes [0:8) geometry bf16 HI, [8:16) geometry bf16 LO
+    (value = hi + lo, |rel err| ~ 2^-16 — double the f32->bf16 mantissa),
+    [16:56) colors+invdepth plain bf16 (the blend's MXU matmul rounds its
+    color operand to bf16 in the f32 path too), rest zero pad."""
+    geom = table[:, :_GEOM]
+    hi = geom.astype(jnp.bfloat16)
+    lo = (geom - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    colors = table[:, _GEOM:_GEOM + _CCH].astype(jnp.bfloat16)
+    pad = jnp.zeros(
+        (table.shape[0], _PK - 2 * _GEOM - _CCH), jnp.bfloat16)
+    return jnp.concatenate([hi, lo, colors, pad], axis=-1)
+
+
+def _unpack_rows_bf16(packed: jnp.ndarray) -> jnp.ndarray:
+    """bf16 rows -> the f32 row layout holding EXACTLY the values the
+    bf16 forward kernel reconstructed (hi + lo, bf16-rounded colors) —
+    the backward replay on this table reproduces the forward's alphas
+    bit-for-bit."""
+    geom = (packed[:, :_GEOM].astype(jnp.float32)
+            + packed[:, _GEOM:2 * _GEOM].astype(jnp.float32))
+    colors = packed[:, 2 * _GEOM:2 * _GEOM + _CCH].astype(jnp.float32)
+    pad = jnp.zeros((packed.shape[0], _PK - _GEOM - _CCH), jnp.float32)
+    return jnp.concatenate([geom, colors, pad], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def blend_tiles_bf16(table, order, ranges, bg, height, width, tile, chunk,
+                     banks=1, exit_every=1):
+    """blend_tiles with the row table packed to bf16 in HBM (settings.
+    bf16_rows): same f32 (P, _PK) table argument and same returns; the
+    row-gather DMA traffic halves. Gradients are straight-through the
+    bf16 quantization (d table = d reconstructed-table), and the
+    backward replays on the exact values the forward used."""
+    out, t = _blend_fwd_call(_pack_rows_bf16(table), order, ranges, bg,
+                             height, width, tile, chunk, banks, exit_every)
+    return out, t
+
+
+def _blend_fwd_bf16(table, order, ranges, bg, height, width, tile, chunk,
+                    banks=1, exit_every=1):
+    packed = _pack_rows_bf16(table)
+    out, t = _blend_fwd_call(packed, order, ranges, bg, height, width,
+                             tile, chunk, banks, exit_every)
+    return (out, t), (packed, order, ranges, bg, out, t)
+
+
+def _blend_bwd_bf16(height, width, tile, chunk, banks, exit_every, res,
+                    grads):
+    packed, order, ranges, bg, out, t = res
+    res_f32 = (_unpack_rows_bf16(packed), order, ranges, bg, out, t)
+    return _blend_bwd(height, width, tile, chunk, banks, exit_every,
+                      res_f32, grads)
+
+
+blend_tiles_bf16.defvjp(_blend_fwd_bf16, _blend_bwd_bf16)
 
 
 def _blend_fwd_call_vmem(table, ltable, order, ranges, bg, height, width,
@@ -2048,9 +2130,10 @@ def rasterize_blend(
     gather+blend kernel plus the tiled->image relayout. Same returns as
     `rasterize`."""
     bg_ext = jnp.concatenate([bg, jnp.zeros(_CCH - NUM_CHANNELS, bg.dtype)])
-    out4, _ = blend_tiles(prep.table, prep.order, prep.ranges, bg_ext,
-                          height, width, settings.tile, settings.chunk,
-                          settings.dma_banks, settings.exit_every)
+    blend = blend_tiles_bf16 if settings.bf16_rows else blend_tiles
+    out4, _ = blend(prep.table, prep.order, prep.ranges, bg_ext,
+                    height, width, settings.tile, settings.chunk,
+                    settings.dma_banks, settings.exit_every)
     out = _tiled_to_image(out4, height, width, settings.tile)
     if not channels_first:
         return (out[:, :, :NUM_CHANNELS],
@@ -2094,6 +2177,10 @@ def rasterize(
             class_order=class_order)
         out = rasterize_blend(prep, bg, H, W, settings, channels_first)
         return out[0], prep.radius, out[1]
+    if settings.bf16_rows:
+        raise ValueError(
+            "bf16_rows covers the default (DMA row-gather) blend path "
+            "only; vmem_classes/streaming keep their f32 tables")
 
     proj = project_gaussians(
         means3d, scales, quats, opacities, cam,

@@ -713,3 +713,69 @@ def test_class_order_requires_size_classes(scene):
             RasterizeSettings(chunk=16),
             class_order=jnp.zeros((means.shape[0],), jnp.int32))
 
+
+def test_bf16_rows_matches_f32_blend(scene):
+    """settings.bf16_rows packs the row table to bf16 (geometry hi/lo
+    pairs, bf16 colors): the render must stay within bf16-color rounding
+    of the f32-table blend (the MXU rounds colors to bf16 in BOTH paths,
+    so the only added error is the ~2^-16 geometry reconstruction)."""
+    from guava_renderer_tpu.ops.gsplat import rasterize
+
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.zeros((C,), jnp.float32)
+    base = RasterizeSettings(chunk=16)
+    b16 = base._replace(bf16_rows=True)
+    out_f32, _, inv_f32 = rasterize(
+        means, colors, opac, scales, quats, cam, bg, base)
+    out_b16, _, inv_b16 = rasterize(
+        means, colors, opac, scales, quats, cam, bg, b16)
+    err = float(jnp.max(jnp.abs(out_b16 - out_f32)))
+    mse = float(jnp.mean((out_b16 - out_f32) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-20))
+    assert psnr > 70.0, (psnr, err)
+    assert float(jnp.max(jnp.abs(inv_b16 - inv_f32))) < 3e-2
+
+
+def test_bf16_rows_gradients_close(scene):
+    """bf16_rows gradients: straight-through the packing, backward replay
+    on exactly the forward's reconstructed values."""
+    from guava_renderer_tpu.ops.gsplat import rasterize
+
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.zeros((C,), jnp.float32)
+
+    def loss(st):
+        def f(m, c, o, s, q):
+            out, _, inv = rasterize(m, c, o, s, q, cam, bg, st)
+            return jnp.sum(out ** 2) + jnp.sum(inv ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(
+            means, colors, opac, scales, quats)
+
+    g_f32 = loss(RasterizeSettings(chunk=16))
+    g_b16 = loss(RasterizeSettings(chunk=16, bf16_rows=True))
+    # a handful of splat-pixel pairs sit ON the 1/255 contribution floor
+    # and flip with the ~2^-16 geometry quantization (a discrete boundary,
+    # inherent to any quantized forward) — so gate on direction + the bulk
+    # of the distribution, not the max
+    for name, a, b in zip(("means", "colors", "opac"), g_f32, g_b16):
+        a, b = np.asarray(a), np.asarray(b)
+        cos = float((a * b).sum()
+                    / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-2)
+        assert cos > 0.9999, (name, cos)
+        assert float(np.percentile(rel, 99)) < 0.15, (
+            name, float(np.percentile(rel, 99)))
+
+
+def test_bf16_rows_rejects_vmem_and_streaming(scene):
+    from guava_renderer_tpu.ops.gsplat import rasterize
+
+    means, colors, opac, scales, quats = scene
+    cam = make_cam(64)
+    bg = jnp.zeros((C,), jnp.float32)
+    st = RasterizeSettings(chunk=16, bf16_rows=True, streaming=True,
+                          presort=False)
+    with pytest.raises(ValueError, match="bf16_rows"):
+        rasterize(means, colors, opac, scales, quats, cam, bg, st)
